@@ -1,0 +1,122 @@
+"""Stage C12 — per-partition lineage manifest: checkpoint/resume/metrics.
+
+Reference parity: ``processing_jobs`` (status, attempts, processed/total
+items — ``backend/app/models/processing_job.py:17-32``) and ``job_steps``
+(ordered steps with input/output payloads — ``backend/app/models/
+job_step.py:13-26``); the README promises "deterministic, auditable
+pipelines with traceable provenance" (``backend/README.md:8``).
+
+Model: an append-only parquet table. A stage run is identified by
+``(run_id, stage, input_fingerprint)``; each logical partition of the
+stage writes one ``completed`` row with counters. On restart, a stage
+reads its completed partitions and ANTI-JOINS them away from the input —
+work already done is skipped and the output is reused, which is exactly
+the idempotent mid-run resume the north_star requires.
+
+Partition granularity here is a stable hash bucket of the row key (url),
+NOT the physical Spark partition id — physical ids change with
+parallelism, hash buckets don't, so a run started at N executors can
+resume at 4N.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("rows_in", T.LongType(), True),
+        T.StructField("rows_out", T.LongType(), True),
+        T.StructField("counters", T.MapType(T.StringType(), T.LongType()), True),
+        T.StructField("attempt", T.IntegerType(), False),
+        T.StructField("started_at", T.TimestampType(), True),
+        T.StructField("finished_at", T.TimestampType(), True),
+    ]
+)
+
+N_BUCKETS = 64
+
+
+def bucket_of(key_col: str, n_buckets: int = N_BUCKETS):
+    """Stable partition id: non-negative xxhash64 bucket of the row key."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class Manifest:
+    """Lineage ledger over a parquet path (Iceberg table in production)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+
+    def completed_partitions(self, run_id: str, stage: str) -> DataFrame:
+        return (
+            self.read()
+            .filter(
+                (F.col("run_id") == run_id)
+                & (F.col("stage") == stage)
+                & (F.col("status") == "completed")
+            )
+            .select("partition_id")
+            .distinct()
+        )
+
+    def pending_input(
+        self, data: DataFrame, run_id: str, stage: str, key_col: str = "url"
+    ) -> DataFrame:
+        """Filter ``data`` down to rows whose bucket is not yet completed."""
+        done = self.completed_partitions(run_id, stage)
+        keyed = data.withColumn("partition_id", bucket_of(key_col))
+        return keyed.join(F.broadcast(done), "partition_id", "left_anti").drop("partition_id")
+
+    def record_completed(
+        self,
+        run_id: str,
+        stage: str,
+        stats: DataFrame,
+        attempt: int = 1,
+    ) -> None:
+        """Append completed rows. ``stats``: (partition_id, rows_in, rows_out).
+
+        Timestamps are wall-clock bookkeeping only — they never influence
+        data content (determinism is over data, not over audit columns).
+        """
+        now = _dt.datetime.now(_dt.timezone.utc)
+        rows = (
+            stats.select(
+                F.lit(run_id).alias("run_id"),
+                F.lit(stage).alias("stage"),
+                F.col("partition_id").cast("int"),
+                F.lit("completed").alias("status"),
+                F.col("rows_in").cast("long"),
+                F.col("rows_out").cast("long"),
+                F.create_map(F.lit("rows_out"), F.col("rows_out").cast("long")).alias("counters"),
+                F.lit(attempt).alias("attempt"),
+                F.lit(now).alias("started_at"),
+                F.lit(now).alias("finished_at"),
+            )
+        )
+        rows.write.mode("append").parquet(self.path)
+
+    def stage_stats(self, data: DataFrame, key_col: str = "url") -> DataFrame:
+        """Per-bucket counters for ``record_completed`` (one pass, map-side)."""
+        return (
+            data.withColumn("partition_id", bucket_of(key_col))
+            .groupBy("partition_id")
+            .agg(F.count(F.lit(1)).alias("rows_out"))
+            .withColumn("rows_in", F.col("rows_out"))
+        )

@@ -1,0 +1,136 @@
+"""Stage C3 — mention detection (gazetteer + capitalized-span fallback).
+
+Reference parity: analysis_type ``entity_extraction`` with JSON result +
+confidence (``backend/app/models/paper_analysis.py:15-21``). The reference
+declares this stage but ships no NLP code; semantics here follow
+``BASELINE.json`` ``north_star`` ("SpanBERT/scispaCy-style mention
+detection" → a deterministic gazetteer/rule stand-in).
+
+Spark-first: one pandas UDF returning ``array<struct>`` + ``F.explode``.
+The alias dictionary is the hot broadcast side (north_star C11): shipped
+to executors once via ``SparkContext.broadcast``, looked up as an O(1)
+hash map per token n-gram — no regex alternation over thousands of names.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MENTION_STRUCT = T.StructType(
+    [
+        T.StructField("surface", T.StringType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("m_type", T.StringType(), False),
+        T.StructField("conf", T.DoubleType(), False),
+    ]
+)
+
+_TOKEN_RE = re.compile(r"[A-Za-z][\w.&'-]*")
+_CAP_SPAN_RE = re.compile(r"\b[A-Z][a-z]+(?: [A-Z][a-zA-Z.]*)*")
+_MAX_NGRAM = 3
+
+
+def _norm_key(s: str) -> str:
+    """Lookup key: lowercase; strip a trailing '.' unless it's an initial."""
+    s = s.lower()
+    if s.endswith(".") and len(s.split(" ")[-1]) > 2:
+        s = s[:-1]
+    return s
+
+
+def _trim_span(text: str, start: int, end: int) -> int:
+    """Trim trailing sentence dots: keep exactly one dot after an initial
+    ("Borealis S.." → "Borealis S."), none after a full word
+    ("Signal Loom." → "Signal Loom")."""
+    e = end
+    while e > start and text[e - 1] == ".":
+        e -= 1
+    word = text[start:e].split(" ")[-1] if e > start else ""
+    if len(word) == 1 and e < end:
+        e += 1  # it's an initial — keep one dot
+    return e
+
+
+def find_mentions(text: str | None, alias_map: dict[str, tuple[str, str]]) -> list[dict]:
+    """Longest-match gazetteer scan over token n-grams, then capitalized
+    spans in uncovered regions (type UNK — candidates for fuzzy linking)."""
+    if not text:
+        return []
+    out: list[dict] = []
+    covered: list[tuple[int, int]] = []
+    # token scan with absolute offsets
+    toks = [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+    i = 0
+    while i < len(toks):
+        hit = None
+        for n in range(min(_MAX_NGRAM, len(toks) - i), 0, -1):
+            start, end = toks[i][1], toks[i + n - 1][2]
+            key = _norm_key(text[start:end])
+            if key in alias_map:
+                _cid, typ = alias_map[key]
+                e = _trim_span(text, start, end)
+                hit = {
+                    "surface": text[start:e],
+                    "start": start,
+                    "end": e,
+                    "m_type": typ,
+                    "conf": 0.9,
+                }
+                i += n
+                break
+        if hit:
+            out.append(hit)
+            covered.append((hit["start"], hit["end"]))
+        else:
+            i += 1
+    # capitalized spans not overlapping gazetteer hits
+    for m in _CAP_SPAN_RE.finditer(text):
+        s, e = m.start(), m.end()
+        if any(s < ce and e > cs for cs, ce in covered):
+            continue
+        if len(m.group(0).split(" ")) >= 2:  # single capitalized words are too noisy
+            e2 = _trim_span(text, s, e)
+            out.append(
+                {"surface": text[s:e2], "start": s, "end": e2, "m_type": "UNK", "conf": 0.5}
+            )
+    out.sort(key=lambda d: (d["start"], d["end"]))
+    return out
+
+
+def mentions_stage(
+    spark: SparkSession, docs: DataFrame, alias_map: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """docs(url, text, ...) → mentions(url, surface, start, end, m_type, conf).
+
+    ``alias_map``: norm_key(alias) -> (canonical_id, entity_type); broadcast.
+    """
+    bc = spark.sparkContext.broadcast(alias_map)
+
+    @F.pandas_udf(T.ArrayType(MENTION_STRUCT))
+    def detect(texts: pd.Series) -> pd.Series:
+        amap = bc.value
+        return texts.map(lambda t: find_mentions(t, amap))
+
+    return (
+        docs.select("url", F.explode(detect(F.col("text"))).alias("m"))
+        .select(
+            "url",
+            F.col("m.surface").alias("surface"),
+            F.col("m.start").alias("start"),
+            F.col("m.end").alias("end"),
+            F.col("m.m_type").alias("m_type"),
+            F.col("m.conf").alias("conf"),
+        )
+    )
+
+
+def build_alias_map(alias_rows: Iterator[dict]) -> dict[str, tuple[str, str]]:
+    """alias rows → lookup map (driver-side; dict is small/hot by design)."""
+    return {_norm_key(r["alias"]): (r["canonical_id"], r["entity_type"]) for r in alias_rows}
