@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG-construction slice (extract → triples →
+top predicates) over the deterministic synthetic page corpus, after
+loading the sf0.001 testdata tables (schema smoke).
+
+``queries()`` / ``oracle_sql()`` — the operator surface from SURVEY.md §2
+plus the training-data operators (dedup / similarity / text analysis /
+multimodal). Implementations live in ``graphlab_spark.plans.relational``
+and ``graphlab_spark.plans.training_queries``; this module re-exports the
+shared registry. Entries whose semantics are not SQL-expressible
+(probabilistic LSH candidate generation) carry no oracle → rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graphlab_spark.plans import relational  # noqa: E402,F401  (fills REGISTRY)
+from graphlab_spark.plans import training_queries  # noqa: E402,F401
+from graphlab_spark.plans.relational import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: triple extraction over the synthetic corpus → predicate
+    histogram. Also scans the sf0.001 testdata to exercise the loaders."""
+    from graphlab_spark.operators.extract import extract_stage
+    from graphlab_spark.operators.triples import triples_stage
+    from graphlab_spark.sources import corpus
+    from graphlab_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    n_docs = load_table(spark, "documents", sf_dir).count()  # smoke the loaders
+    pages = corpus.generate_pages(spark, 300)
+    docs = extract_stage(pages)
+    triples = triples_stage(docs)
+    return (
+        triples.groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("testdata_docs", F.lit(n_docs))
+        .orderBy(F.col("n").desc(), F.col("pred").asc())
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: entry_.fn for name, entry_ in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: e.sql for name, e in REGISTRY.items() if e.sql is not None}

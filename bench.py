@@ -1,0 +1,128 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set:
+- kg_pipeline      — full KG construction (extract → triples → link →
+                     canonicalize → nodes/edges) over a synthetic corpus
+                     sized to the SF; also reports docs/sec + triples/sec
+                     (the BASELINE.json metric).
+- tpch q1/q3/q5    — scan/agg, join+topk, multi-join star.
+- dedup_minhash    — MinHash-LSH near-dup over the documents table
+                     (planted near-dups, unbounded).
+- dedup_exact      — fingerprint groupBy.
+- ann_bruteforce   — cosine top-k, 50 queries.
+- text_stats       — token/quality/lang/fingerprint single-pass.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_PAGES overrides corpus size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from graphlab_spark.session import get_spark  # noqa: E402
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", str(max(300, int(sf * 200_000)))))
+
+    import glob
+    import shutil
+
+    for d in glob.glob("/dev/shm/glpipe-*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    from graphlab_spark.operators import ann as ANN
+    from graphlab_spark.operators import dedup as DD
+    from graphlab_spark.operators.extract import extract_stage
+    from graphlab_spark.operators.triples import triples_stage
+    from graphlab_spark.plans.pipeline import run_pipeline_in_memory
+    from graphlab_spark.plans.relational import REGISTRY
+    from graphlab_spark.functions import textstats as TS
+    from graphlab_spark.sources import corpus
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- relational headliners
+    for name in ["tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+                 "tpch_q5_local_supplier_volume"]:
+        timed(name, lambda n=name: _count(REGISTRY[n].fn(spark, sf_dir)))
+
+    # --- training-data ops at full table scale
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = DD.with_planted_near_dups(docs)
+    timed("dedup_exact", lambda: _count(DD.exact_dup_groups(planted)))
+    timed("dedup_minhash", lambda: _count(DD.minhash_lsh_pairs(planted, 0.8)))
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("ann_bruteforce", lambda: _count(ANN.brute_force_topk(embs, list(range(50)), k=10)))
+    timed(
+        "text_stats",
+        lambda: _count(
+            docs.select(
+                "doc_id",
+                TS.token_count_col().alias("n_tokens"),
+                TS.quality_score_col().alias("quality"),
+                TS.lang_id_col().alias("lang_pred"),
+                TS.fingerprint_col().alias("fp"),
+            ).filter(F.col("n_tokens") >= 0)
+        ),
+    )
+
+    # --- KG pipeline last (its localCheckpoints pin executor memory)
+    pages = corpus.generate_pages(spark, n_pages)
+    aliases = corpus.alias_df(spark)
+    t0 = time.time()
+    res = run_pipeline_in_memory(spark, pages, aliases)
+    n_edges = res["edges"].count()
+    kg_wall = time.time() - t0
+    n_docs = res["docs"].count()
+    n_triples = res["triples"].count()
+    timings["kg_pipeline"] = round(kg_wall, 3)
+    extras["kg_docs"] = n_docs
+    extras["kg_triples"] = n_triples
+    extras["kg_edges"] = n_edges
+    extras["docs_per_sec"] = round(n_docs / kg_wall, 2)
+    extras["triples_per_sec"] = round(n_triples / kg_wall, 2)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_pages": n_pages,
+                "kg": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Token counting, quality scoring, language-ID (marker-word heuristic) and
+document fingerprinting — everything is built from JVM-side
+``pyspark.sql.functions`` (whole-stage codegen, zero Python in the hot
+path). Each function has an exactly-mirrored SQL form (generated from the
+same Python constants) so the DuckDB oracle computes identical values.
+
+At 100 TB these are narrow projections over the ``documents`` scan —
+column pruning means the scan reads only ``text`` (+key), and no shuffle
+is involved at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# marker stopwords per language; priority order breaks score ties.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "was", "with", "a"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "zeigt", "alle"],
+    "es": ["el", "los", "las", "es", "un", "una", "muestra", "todos", "crecimiento"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "une", "des", "tous"],
+    "zh": ["的", "是", "在", "了", "和"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+_WS = r"\s+"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
+
+
+# ------------------------------------------------------------ token count
+
+def tokens_col(text: str = "text") -> Column:
+    return F.split(F.trim(F.col(text)), _WS)
+
+
+def token_count_col(text: str = "text") -> Column:
+    """Whitespace token count (BPE-ish subword estimate = chars/4 is
+    provided separately in token_estimate_col)."""
+    return F.size(tokens_col(text))
+
+
+TOKEN_COUNT_SQL = "len(regexp_split_to_array(trim(text), '\\s+'))"
+
+
+def token_estimate_col(text: str = "text") -> Column:
+    """BPE-style subword-count estimate: ceil(chars / 4)."""
+    return F.ceil(F.length(F.col(text)) / 4).cast("long")
+
+
+TOKEN_ESTIMATE_SQL = "CAST(ceil(length(text) / 4.0) AS BIGINT)"
+
+
+# ---------------------------------------------------------- quality score
+
+def quality_score_col(text: str = "text") -> Column:
+    """Deterministic quality heuristic in basis points [0, 1000]:
+    400·min(n_tokens/100, 1) + 300·min(stopword_ratio·5, 1)
+    + 300·min(avg_token_len/8, 1).
+
+    Computed with INTEGER arithmetic only (floor division) so the value is
+    bit-identical across engines — float accumulation order flips rounded
+    results at boundary values, integer division cannot.
+    """
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = f"split(trim({text}), '\\\\s+')"
+    return F.expr(
+        f"CAST(4 * least(size({toks}), 100) "
+        f"+ (300 * least(5 * size(filter({toks}, t -> lower(t) IN ({stoplist}))), "
+        f"size({toks}))) DIV size({toks}) "
+        f"+ (300 * least(length({text}), 8 * size({toks}))) DIV (8 * size({toks})) "
+        f"AS BIGINT)"
+    )
+
+
+QUALITY_SCORE_SQL = (
+    "4 * least(len(regexp_split_to_array(trim(text), '\\s+')), 100) + "
+    "(300 * least(5 * len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    f"t -> list_contains({_sql_list(STOPWORDS)}, lower(t)))), "
+    "len(regexp_split_to_array(trim(text), '\\s+')))) // "
+    "len(regexp_split_to_array(trim(text), '\\s+')) + "
+    "(300 * least(length(text), 8 * len(regexp_split_to_array(trim(text), '\\s+')))) // "
+    "(8 * len(regexp_split_to_array(trim(text), '\\s+')))"
+)
+
+
+# -------------------------------------------------------------- language id
+
+def lang_scores_col(text: str = "text") -> dict[str, Column]:
+    toks = F.array_distinct(F.transform(tokens_col(text), F.lower))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id_col(text: str = "text") -> Column:
+    """argmax of marker hits; ties resolved by LANG_PRIORITY; no hits → 'und'."""
+    scores = lang_scores_col(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql() -> str:
+    toks = "list_distinct([lower(t) for t in regexp_split_to_array(trim(text), '\\s+')])"
+    score = {
+        lang: f"len(list_intersect({toks}, {_sql_list(words)}))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score[lg] for lg in LANG_PRIORITY) + ")"
+    case = "CASE "
+    for lang in LANG_PRIORITY:
+        case += f"WHEN {score[lang]} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return case
+
+
+# -------------------------------------------------------------- fingerprint
+
+def fingerprint_col(text: str = "text") -> Column:
+    """Content fingerprint: md5 of lowercased, whitespace-collapsed text.
+    md5 (not xxhash64) because it is bit-identical across engines."""
+    return F.md5(F.regexp_replace(F.lower(F.col(text)), _WS, " "))
+
+
+FINGERPRINT_SQL = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"

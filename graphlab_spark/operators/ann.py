@@ -1,0 +1,129 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
+
+Two tiers:
+- brute-force cosine top-k — the exactness baseline. The query set is the
+  SMALL side: broadcast it, compute dot products JVM-side with
+  ``zip_with``/``aggregate`` (no Python in the loop), rank with a window.
+  Cost is |queries| × |corpus| — fine for |queries| in the thousands.
+- LSH-bucketed top-k — the 10^12-row path: sign-random-projection bucket
+  key (deterministic hyperplanes), candidates = same-bucket rows in any
+  of B hash tables, exact cosine re-rank of candidates only. The shuffle
+  key is (table, bucket); no cross join anywhere.
+
+Math is done in DOUBLE so scores agree bit-for-bit-enough with the
+DuckDB oracle after rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DIM = 64
+N_TABLES = 8
+N_PLANES = 12  # bits per bucket key
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query id (excluding self).
+
+    → (query_id, neighbor_id, rank, score) with score rounded to 4 dp.
+    """
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 4))
+    )
+    # rank by the ROUNDED score: raw doubles differ across engines at ~1e-9
+    # and would flip near-tie orderings vs the oracle
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def _planes(seed: int = 11) -> np.ndarray:
+    """Deterministic hyperplanes (fixed seed): (N_TABLES, N_PLANES, DIM)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((N_TABLES, N_PLANES, DIM)).astype(np.float64)
+
+
+@F.pandas_udf(T.ArrayType(T.StructType([
+    T.StructField("table", T.IntegerType()),
+    T.StructField("bucket", T.LongType()),
+])))
+def lsh_buckets_udf(vecs: pd.Series) -> pd.Series:
+    """Sign-random-projection bucket per hash table, vectorized per batch."""
+    P = _planes()
+    M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())  # (n, d)
+    out = []
+    # (n, T, B) sign bits → (n, T) integer bucket keys
+    proj = np.einsum("nd,tbd->ntb", M, P) > 0
+    keys = (proj.astype(np.int64) << np.arange(N_PLANES, dtype=np.int64)[None, None, :]).sum(
+        axis=2
+    )
+    for i in range(M.shape[0]):
+        out.append([{"table": t, "bucket": int(keys[i, t])} for t in range(N_TABLES)])
+    return pd.Series(out)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: same-bucket candidates in any table, exact
+    cosine re-rank. Recall < 1 by design; bounded candidate fan-out."""
+    base = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.explode(lsh_buckets_udf(F.col(vec_col))).alias("tb"),
+    ).select("vid", "vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    qside = base.filter(F.col("vid").isin(query_ids)).select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("qvec"), "table", "bucket"
+    )
+    cand = (
+        base.join(F.broadcast(qside), ["table", "bucket"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(F.col("query_id"), F.col("vid").alias("neighbor_id"), "qvec", F.col("vec").alias("nvec"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("score", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

@@ -1,0 +1,256 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+Four tiers, mirroring how web-scale dedup is actually layered:
+
+1. exact           — md5 fingerprint groupBy (one shuffle on the hash;
+                     map-side partial agg makes the shuffle tiny).
+2. token-3gram Jaccard (exact) — the verification predicate, computed
+                     JVM-side with higher-order array functions; used
+                     standalone on bounded subsets and as the verify step
+                     of LSH candidates.
+3. MinHash-LSH     — the 100 TB path: per-doc signatures (vectorized
+                     numpy over Arrow batches), banded bucket join
+                     (shuffle on band-bucket key, never a cross join),
+                     exact-Jaccard verification of candidates only.
+4. SimHash         — 64-bit signatures; near-dup pairs via 16-bit band
+                     blocking + Hamming distance verify.
+
+Reference parity: the reference dedups crawled docs per lab on exact keys
+(``backend/app/models/research_paper.py:13-14``); fuzzy tiers follow the
+north_star canonicalization requirements applied to documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphlab_spark.functions.textstats import fingerprint_col, tokens_col
+
+# ---------------------------------------------------------------- exact
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """fingerprint → (fingerprint, n_docs, keeper=min doc_id) for groups >1."""
+    return (
+        docs.select("doc_id", fingerprint_col().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the smallest doc_id per fingerprint (deterministic winner)."""
+    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("fingerprint", fingerprint_col())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fingerprint")
+    )
+
+
+# ------------------------------------------------------- shingles/jaccard
+
+def shingles_col(text: str = "text", n: int = 3):
+    """Token n-gram shingles, built JVM-side (transform over sequence)."""
+    toks = tokens_col(text)
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, greatest(size(split(trim({text}), '\\\\s+')) - {n}, 0)), "
+            f"i -> concat_ws(' ', slice(split(trim({text}), '\\\\s+'), i + 1, {n})))"
+        )
+    )
+
+
+def jaccard_pairs_exact(
+    docs: DataFrame, threshold: float = 0.8, max_doc_id: int | None = None
+) -> DataFrame:
+    """Exact token-3gram Jaccard over all pairs of a bounded subset.
+
+    All-pairs is O(n²) — this is the ORACLE/verify form, bounded via
+    ``max_doc_id``; the scale path is :func:`minhash_lsh_pairs`.
+    """
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
+    d = docs.select("doc_id", shingles_col().alias("sh"))
+    a = d.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ MinHash-LSH
+
+N_HASHES = 64
+N_BANDS = 16  # 16 bands x 4 rows: p(candidate | J=0.9) ≈ 1 - 3e-8
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)  # fixed seed → deterministic across runs
+    a = rng.randint(1, _MERSENNE, size=n, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n, dtype=np.int64)
+    return a, b
+
+
+def _minhash_batch(shingle_lists: pd.Series) -> pd.Series:
+    """Vectorized minhash signatures: one numpy pass per Arrow batch."""
+    a, b = _hash_params(N_HASHES)
+    out = []
+    for sh in shingle_lists:
+        if sh is None or len(sh) == 0:
+            out.append([0] * N_HASHES)
+            continue
+        hv = np.array(
+            [hash_shingle(s) for s in sh], dtype=np.int64
+        )  # (m,)
+        # (m, k) permuted hashes mod mersenne prime, min per column
+        ph = (hv[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+        out.append(ph.min(axis=0).tolist())
+    return pd.Series(out)
+
+
+def hash_shingle(s: str) -> int:
+    """Stable 61-bit shingle hash (blake2b — never Python's salted hash())."""
+    from hashlib import blake2b
+
+    return int.from_bytes(blake2b(s.encode("utf-8"), digest_size=8).digest(), "big") % _MERSENNE
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_udf(shingles: pd.Series) -> pd.Series:
+    return _minhash_batch(shingles)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Candidate pairs via banded minhash buckets, verified with exact
+    Jaccard. Shuffles on (band, bucket-signature) — bounded fan-out, no
+    cross join; at 10^12 docs the bucket join is the only wide edge."""
+    sigs = docs.select(
+        "doc_id", shingles_col().alias("sh"), minhash_udf(shingles_col()).alias("sig")
+    ).localCheckpoint()  # reuse for both band explode and verify join
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> struct(b AS band, concat_ws(',', transform(slice(sig, "
+                f"b * {rows_per_band} + 1, {rows_per_band}), x -> cast(x AS string))) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sigs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sigs.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------- SimHash
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(shingles: pd.Series) -> pd.Series:
+    """64-bit simhash over shingle hashes, vectorized per Arrow batch."""
+    out = np.zeros(len(shingles), dtype=np.int64)
+    for i, sh in enumerate(shingles):
+        if sh is None or len(sh) == 0:
+            continue
+        hv = np.array([hash_shingle(s) for s in sh], dtype=np.uint64)
+        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+        acc = (2 * bits - 1).sum(axis=0)
+        out[i] = int.from_bytes(
+            int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+            .to_bytes(8, "big", signed=False),
+            "big",
+            signed=True,
+        )
+    return pd.Series(out)
+
+
+def simhash_table(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", simhash_udf(shingles_col()).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs: block on each of the four 16-bit simhash chunks
+    (a pair within Hamming ≤ 3 of 64 bits shares at least one exact
+    16-bit chunk by pigeonhole), verify with bit_count."""
+    sims = simhash_table(docs).localCheckpoint()
+    chunks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# -------------------------------------------------- planted near-dup input
+
+def with_planted_near_dups(docs: DataFrame, every: int = 10, offset: int = 10_000_000) -> DataFrame:
+    """Deterministic near-dup injection for dedup evaluation: every
+    ``every``-th doc gets a copy (doc_id + offset) with two extra tokens.
+    Replicable exactly in SQL, so oracle comparisons stay possible."""
+    copies = docs.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq0 zq1")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 8).alias("n_chars"),
+    )
+    return docs.unionByName(copies)

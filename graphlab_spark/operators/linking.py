@@ -11,16 +11,21 @@ Scale design:
   so the expensive scoring runs on the (bounded) vocabulary while the
   final assignment is a join back to mentions. At 100 TB the mention
   table is ~10^12 rows but distinct surfaces are ~10^8.
-- Alias dictionary is the small hot side → ``F.broadcast`` everywhere
-  (north_star C11). No shuffle touches the big side until the last
-  mention←link join, where AQE skew-join splits hot surfaces.
-- Candidate generation is bounded: block keys = first-token key +
-  min-K hashed char-3-grams + rarest-token (TF-IDF) key, never a
-  cross join.
+- ONE blocked join does both exact and fuzzy linking: an exact
+  normalized-key hit embeds identically → cosine 1.0 → always top-1, so
+  no separate exact pass (halves the job count).
+- The alias dictionary is driver-resident metadata (the reference keeps
+  it in Postgres): its block keys are computed driver-side and the whole
+  keyed dict is broadcast (north_star C11). The big side never shuffles
+  until the final mention←link join, where AQE splits hot surfaces.
+- Blocking is bounded: first-token key, min-K hashed char-3-grams, and a
+  TF-IDF key (rarest token by document frequency over the alias corpus —
+  computed once, driver-side, broadcast with the dict). No cross join.
 """
 
 from __future__ import annotations
 
+from collections import Counter
 from hashlib import blake2b
 
 import pandas as pd
@@ -35,43 +40,63 @@ MINK_GRAMS = 8
 DEFAULT_THRESHOLD = 0.70
 
 
-def _block_keys(surface: str | None) -> list[str]:
+def _gram_keys(key: str) -> list[str]:
+    grams = sorted(
+        char_ngrams(key), key=lambda g: blake2b(g.encode(), digest_size=8).digest()
+    )[:MINK_GRAMS]
+    return ["g:" + g for g in grams]
+
+
+def _block_keys(surface: str | None, token_df: dict[str, int] | None = None) -> list[str]:
+    """first-token key + min-K char-gram keys (+ TF-IDF rarest-token key
+    when a token document-frequency map is supplied)."""
     if not surface:
         return []
     key = _norm_key(surface)
-    keys = {"t0:" + key.split(" ")[0]}
-    grams = sorted(
-        char_ngrams(key),
-        key=lambda g: blake2b(g.encode(), digest_size=8).digest(),
-    )[:MINK_GRAMS]
-    keys.update("g:" + g for g in grams)
+    toks = key.split(" ")
+    keys = {"t0:" + toks[0]}
+    keys.update(_gram_keys(key))
+    if token_df:
+        known = [t for t in toks if t in token_df]
+        if known:
+            rarest = min(known, key=lambda t: (token_df[t], t))
+            keys.add("r:" + rarest)
     return sorted(keys)
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def block_keys_udf(surfaces: pd.Series) -> pd.Series:
-    return surfaces.map(_block_keys)
+def norm_key_udf_factory():
+    @F.pandas_udf(T.StringType())
+    def norm_key_udf(surfaces: pd.Series) -> pd.Series:
+        return surfaces.map(lambda s: _norm_key(s) if s else None)
+
+    return norm_key_udf
 
 
-@F.pandas_udf(T.StringType())
-def norm_key_udf(surfaces: pd.Series) -> pd.Series:
-    return surfaces.map(lambda s: _norm_key(s) if s else None)
+norm_key_udf = norm_key_udf_factory()
 
 
-def rarest_token_blocks(surfaces: DataFrame, col: str = "surface") -> DataFrame:
-    """TF-IDF-style blocking: block each surface on its rarest token
-    (max IDF = min document frequency across the surface vocabulary)."""
-    toks = surfaces.select(
-        col, F.explode(F.split(norm_key_udf(F.col(col)), " ")).alias("tok")
-    ).filter(F.length("tok") >= 2)
-    dfreq = toks.groupBy("tok").agg(F.countDistinct(col).alias("df"))
-    w = Window.partitionBy(col).orderBy(F.col("df").asc(), F.col("tok").asc())
-    return (
-        toks.join(dfreq, "tok")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(col, F.concat(F.lit("r:"), F.col("tok")).alias("block_key"))
-    )
+def alias_block_rows(alias_rows: list[dict]) -> tuple[list[dict], dict[str, int]]:
+    """Driver-side: explode the alias dict into (block_key, akey,
+    canonical_id, entity_type) rows. Token document frequency over the
+    alias corpus supplies the TF-IDF blocking key."""
+    token_df: Counter[str] = Counter()
+    keyed = []
+    for r in alias_rows:
+        k = _norm_key(r["alias"])
+        keyed.append((k, r))
+        token_df.update(set(k.split(" ")))
+    out = []
+    for k, r in keyed:
+        for bk in _block_keys(k, token_df):
+            out.append(
+                {
+                    "block_key": bk,
+                    "akey": k,
+                    "canonical_id": r["canonical_id"],
+                    "entity_type": r["entity_type"],
+                }
+            )
+    return out, dict(token_df)
 
 
 def link_surfaces(
@@ -81,63 +106,51 @@ def link_surfaces(
     threshold: float = DEFAULT_THRESHOLD,
 ) -> DataFrame:
     """surfaces(surface) × aliases(alias, canonical_id, entity_type) →
-    links(surface, canonical_id, entity_type, score, method)."""
-    alias_keyed = aliases.select(
-        "alias",
-        "canonical_id",
-        "entity_type",
-        norm_key_udf(F.col("alias")).alias("akey"),
-    )
+    links(surface, canonical_id, entity_type, score, method).
 
-    # --- exact path: normalized-key hit in the broadcast alias dict
-    skeys = surfaces.select("surface", norm_key_udf(F.col("surface")).alias("skey"))
-    exact_join = skeys.join(
-        F.broadcast(alias_keyed), F.col("skey") == F.col("akey"), "left"
-    )
-    exact = (
-        exact_join.filter(F.col("canonical_id").isNotNull())
-        .select(
-            "surface",
-            "canonical_id",
-            "entity_type",
-            F.lit(1.0).alias("score"),
-            F.lit("exact").alias("method"),
-        )
-        .dropDuplicates(["surface"])  # an alias maps to exactly one entity
-    )
-    unmatched = exact_join.filter(F.col("canonical_id").isNull()).select("surface")
+    One blocked broadcast join + batched cosine + window top-1."""
+    ablocks_rows, token_df = alias_block_rows([r.asDict() for r in aliases.collect()])
+    ablocks = spark.createDataFrame(
+        pd.DataFrame(ablocks_rows),
+        "block_key string, akey string, canonical_id string, entity_type string",
+    ).coalesce(1)
+    df_bc = spark.sparkContext.broadcast(token_df)
 
-    # --- fuzzy path: blocked candidates → batched cosine → top-1 ≥ threshold
-    sblocks = unmatched.select(
-        "surface", F.explode(block_keys_udf(F.col("surface"))).alias("block_key")
-    ).unionByName(rarest_token_blocks(unmatched))
-    ablocks = alias_keyed.select(
-        "alias",
-        "canonical_id",
-        "entity_type",
-        F.explode(block_keys_udf(F.col("alias"))).alias("block_key"),
-    )
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def block_keys_udf(col: pd.Series) -> pd.Series:
+        tdf = df_bc.value
+        return col.map(lambda s: _block_keys(s, tdf))
+
+    skeyed = surfaces.select(
+        "surface", norm_key_udf(F.col("surface")).alias("skey")
+    ).withColumn("block_key", F.explode(block_keys_udf(F.col("surface"))))
+
     cand = (
-        sblocks.join(F.broadcast(ablocks), "block_key")
-        .select("surface", "alias", "canonical_id", "entity_type")
-        .dropDuplicates(["surface", "alias"])
-    )
-    scored = cand.withColumn(
-        "score",
-        cosine_pairs_udf(
-            embed_udf(norm_key_udf(F.col("surface"))),
-            embed_udf(norm_key_udf(F.col("alias"))),
-        ),
+        skeyed.join(F.broadcast(ablocks), "block_key")
+        .dropDuplicates(["surface", "akey", "canonical_id"])
+        .withColumn(
+            "score",
+            F.when(F.col("skey") == F.col("akey"), F.lit(1.0)).otherwise(
+                cosine_pairs_udf(embed_udf(F.col("skey")), embed_udf(F.col("akey")))
+            ),
+        )
     )
     w = Window.partitionBy("surface").orderBy(
         F.col("score").desc(), F.col("canonical_id").asc()
     )
-    fuzzy = (
-        scored.withColumn("_rn", F.row_number().over(w))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col("score") >= threshold))
-        .select("surface", "canonical_id", "entity_type", "score", F.lit("fuzzy").alias("method"))
+        .select(
+            "surface",
+            "canonical_id",
+            "entity_type",
+            "score",
+            F.when(F.col("skey") == F.col("akey"), F.lit("exact"))
+            .otherwise(F.lit("fuzzy"))
+            .alias("method"),
+        )
     )
-    return exact.unionByName(fuzzy)
 
 
 def linking_stage(

@@ -36,6 +36,20 @@ _TOKEN_RE = re.compile(r"[A-Za-z][\w.&'-]*")
 _CAP_SPAN_RE = re.compile(r"\b[A-Z][a-z]+(?: [A-Z][a-zA-Z.]*)*")
 _MAX_NGRAM = 3
 
+# Sentence-initial capitalized function/common words are not name parts:
+# "During Acme Systems ..." must yield "Acme Systems", not a three-token
+# junk surface. Keeps the UNK vocabulary (and every vocabulary-sized
+# stage downstream) bounded.
+_COMMON_WORDS = frozenset(
+    """the a an and or of to in on for with while during across over under
+    this that these those it its his her their our your my was were is are
+    be been has have had do does did not no yes but so if then than as at
+    by from into onto after before between among against about
+    market report shows steady growth regional sectors analysts expect
+    further updates infrastructure supply chains quarterly revenue figures
+    coming fiscal review period profit loss""".split()
+)
+
 
 def _norm_key(s: str) -> str:
     """Lookup key: lowercase; strip a trailing '.' unless it's an initial."""
@@ -95,7 +109,12 @@ def find_mentions(text: str | None, alias_map: dict[str, tuple[str, str]]) -> li
         s, e = m.start(), m.end()
         if any(s < ce and e > cs for cs, ce in covered):
             continue
-        if len(m.group(0).split(" ")) >= 2:  # single capitalized words are too noisy
+        # trim leading capitalized function/common words (sentence starts)
+        words = m.group(0).split(" ")
+        while words and words[0].lower() in _COMMON_WORDS:
+            s += len(words[0]) + 1
+            words = words[1:]
+        if len(words) >= 2:  # single capitalized words are too noisy
             e2 = _trim_span(text, s, e)
             out.append(
                 {"surface": text[s:e2], "start": s, "end": e2, "m_type": "UNK", "conf": 0.5}

@@ -20,6 +20,7 @@ output.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -107,6 +108,119 @@ def _new_entity_id(col):
     return F.concat(F.lit("unk:"), slugify_udf(norm_key_udf(col)))
 
 
+def run_pipeline_in_memory(
+    spark: SparkSession,
+    pages: DataFrame,
+    aliases: DataFrame,
+    link_threshold: float = _linking.DEFAULT_THRESHOLD,
+    jaccard_dist: float = _canon.DEFAULT_JACCARD_DIST,
+    stage_timings: dict[str, float] | None = None,
+) -> dict[str, DataFrame]:
+    """Manifest-free pipeline for query/benchmark use: same stages as
+    :func:`run_pipeline`, without the lineage manifest. Stage results are
+    materialized as parquet under a scratch dir (tmpfs by default) rather
+    than ``localCheckpoint`` — block-manager checkpoints accumulate on the
+    driver heap and cause erratic GC stalls over repeated runs, while a
+    parquet round-trip is off-heap and predictable. Pass
+    ``stage_timings={}`` to record per-stage wall-clock seconds (each
+    stage is forced by its materialization, so the split is meaningful)."""
+    import tempfile
+    import time as _time
+
+    scratch = tempfile.mkdtemp(prefix="glpipe-", dir=os.environ.get(
+        "SPARK_GRAFT_SCRATCH", "/dev/shm"))
+
+    def _save(df: DataFrame, name: str) -> DataFrame:
+        path = f"{scratch}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    _t = [_time.time()]
+
+    def _mark(name: str) -> None:
+        if stage_timings is not None:
+            now = _time.time()
+            stage_timings[name] = round(now - _t[0], 3)
+            _t[0] = now
+
+    alias_map = build_alias_map(r.asDict() for r in aliases.collect())
+    # html is dead weight once text is extracted — keep the materialization slim
+    docs = _save(extract_stage(pages).select("url", "warc_ts", "lang", "text"), "docs")
+    _mark("extract")
+    mentions = _save(mentions_stage(spark, docs.select("url", "text"), alias_map), "mentions")
+    _mark("mentions")
+    triples = _save(triples_stage(docs.select("url", "text", "lang")), "triples")
+    _mark("triples")
+
+    # distinct surfaces: checkpointed — every vocabulary stage below
+    # consumes it, and re-deriving it re-scans the full mention stream.
+    surfaces = _save(
+        mentions.select("surface")
+        .unionByName(triples.select(F.col("subj").alias("surface")))
+        .unionByName(triples.select(F.col("obj").alias("surface")))
+        .distinct()
+        .coalesce(4),  # vocabulary-sized: stop scheduling 32 tasks per op
+        "surfaces",
+    )
+    _mark("surfaces")
+    links = _save(_linking.link_surfaces(spark, surfaces, aliases, link_threshold), "links")
+    _mark("links")
+
+    surf_entity = surfaces.join(
+        F.broadcast(links.select("surface", "canonical_id")), "surface", "left"
+    ).select(
+        "surface",
+        F.coalesce(F.col("canonical_id"), _new_entity_id(F.col("surface"))).alias("entity_id"),
+    )
+    known_ents = (
+        aliases.filter(F.col("is_primary"))
+        .select(
+            F.col("canonical_id").alias("entity_id"),
+            norm_key_udf(F.col("alias")).alias("surface"),
+            F.lit(True).alias("is_known"),
+        )
+        .dropDuplicates(["entity_id"])
+    )
+    unk_ents = (
+        surf_entity.filter(F.col("entity_id").startswith("unk:"))
+        .select(
+            "entity_id",
+            norm_key_udf(F.col("surface")).alias("surface"),
+            F.lit(False).alias("is_known"),
+        )
+        .dropDuplicates(["entity_id"])
+    )
+    mapping = _canon.canonicalize_stage(spark, known_ents.unionByName(unk_ents), jaccard_dist)
+    entity_map = _save(
+        surf_entity.join(mapping, "entity_id")
+        .select("surface", F.col("canonical_id").alias("entity_id")),
+        "entity_map",
+    )
+    _mark("canonicalize+entity_map")
+
+    linked_mentions = mentions.join(F.broadcast(entity_map), "surface").select(
+        F.col("entity_id").alias("canonical_id"), "surface", "m_type"
+    )
+    nodes = _mat.build_nodes(linked_mentions)
+    em = F.broadcast(entity_map)
+    t = (
+        triples.join(em.withColumnRenamed("surface", "subj"), "subj")
+        .withColumnRenamed("entity_id", "subj_id")
+        .join(em.withColumnRenamed("surface", "obj"), "obj")
+        .withColumnRenamed("entity_id", "obj_id")
+    )
+    edges = _mat.build_edges(t.select("subj_id", "pred", "obj_id", "url", "conf"))
+    return {
+        "docs": docs,
+        "mentions": mentions,
+        "triples": triples,
+        "links": links,
+        "entity_map": entity_map,
+        "nodes": nodes,
+        "edges": edges,
+    }
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -122,7 +236,9 @@ def run_pipeline(
 
     docs = run_stage(
         spark, manifest, run_id, "extract", pages, "url",
-        extract_stage, f"{out_dir}/docs",
+        # html is dead weight once text is extracted — persist slim
+        lambda d: extract_stage(d).select("url", "warc_ts", "lang", "text"),
+        f"{out_dir}/docs",
     )
     mentions = run_stage(
         spark, manifest, run_id, "mentions", docs.select("url", "text"), "url",
@@ -133,15 +249,24 @@ def run_pipeline(
         triples_stage, f"{out_dir}/triples",
     )
 
-    # --- vocabulary-level: link every distinct surface seen anywhere
+    # --- vocabulary-level: link every distinct surface seen anywhere.
+    # Checkpointed once, lazily — several stages consume it, but a fully
+    # resumed run must not pay for it at all.
+    _surf: dict[str, DataFrame] = {}
+
+    def all_surfaces() -> DataFrame:
+        if "df" not in _surf:
+            _surf["df"] = (
+                mentions.select("surface")
+                .unionByName(triples.select(F.col("subj").alias("surface")))
+                .unionByName(triples.select(F.col("obj").alias("surface")))
+                .distinct()
+                .localCheckpoint()
+            )
+        return _surf["df"]
+
     def _links() -> DataFrame:
-        surfaces = (
-            mentions.select("surface")
-            .unionByName(triples.select(F.col("subj").alias("surface")))
-            .unionByName(triples.select(F.col("obj").alias("surface")))
-            .distinct()
-        )
-        return _linking.link_surfaces(spark, surfaces, aliases, link_threshold)
+        return _linking.link_surfaces(spark, all_surfaces(), aliases, link_threshold)
 
     links = run_global_stage(spark, manifest, run_id, "linking", _links, f"{out_dir}/links")
 
@@ -149,13 +274,7 @@ def run_pipeline(
     # 'unk:' sorts after every known type prefix, so component-min picks
     # the known entity as the canonical survivor.
     def _entity_map() -> DataFrame:
-        all_surfaces = (
-            mentions.select("surface")
-            .unionByName(triples.select(F.col("subj").alias("surface")))
-            .unionByName(triples.select(F.col("obj").alias("surface")))
-            .distinct()
-        )
-        surf_entity = all_surfaces.join(
+        surf_entity = all_surfaces().join(
             F.broadcast(links.select("surface", "canonical_id")), "surface", "left"
         ).select(
             "surface",

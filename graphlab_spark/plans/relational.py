@@ -1,0 +1,461 @@
+"""Relational operator surface (SURVEY.md §2.a) over the driver testdata.
+
+Each entry pairs a DataFrame implementation with the ANSI-SQL oracle the
+driver runs through DuckDB at sf0.01. Conventions (driver contract):
+- every computed column is aliased identically in both forms;
+- float results are rounded on BOTH sides (Spark and DuckDB accumulate
+  doubles in different orders — rounding makes the value-hash stable);
+- timestamps are rendered as strings on both sides.
+
+Reference parity: each query's docstring cites the reference behavior it
+mirrors (file:line in khanhphamj/GraphLab backend).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+    doc: str
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def q(name: str, sql: str | None, doc: str):
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql, doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- filters
+
+@q(
+    "a01_filter_eq",
+    "SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal FROM customer "
+    "WHERE c_mktsegment = 'BUILDING'",
+    "A1 equality-predicate scoping (kg_schema.py:102)",
+)
+def a01(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@q(
+    "a02_filter_null_tombstone",
+    "SELECT doc_id, lang FROM documents WHERE text IS NOT NULL AND n_chars < 100",
+    "A2 IS NULL / tombstone filtering (kg_schema.py:507)",
+)
+def a02(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("n_chars") < 100))
+        .select("doc_id", "lang")
+    )
+
+
+@q(
+    "a03_ilike_search",
+    "SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE '%gre%'",
+    "A3 case-insensitive substring search (research_paper.py:67-74)",
+)
+def a03(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        .filter(F.lower(F.col("p_name")).contains("gre"))
+        .select("p_partkey", "p_name")
+    )
+
+
+@q(
+    "a04_disjunction",
+    "SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS totalprice FROM orders "
+    "WHERE o_orderstatus = 'F' OR o_totalprice > 100000",
+    "A4 or_() across columns (research_paper.py:68)",
+)
+def a04(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .filter((F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 100000))
+        .select(
+            "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("totalprice")
+        )
+    )
+
+
+@q(
+    "a05_conjunction",
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "WHERE l_returnflag = 'R' AND l_linestatus = 'F' AND l_quantity > 25",
+    "A5 and_() predicates (research_paper.py:31)",
+)
+def a05(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_linestatus") == "F")
+            & (F.col("l_quantity") > 25)
+        )
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@q(
+    "a06_in_list",
+    "SELECT o_orderkey, o_orderpriority FROM orders "
+    "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    "A6 IN-list guard (kg_schema.py:264)",
+)
+def a06(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+# ------------------------------------------------------------ sort / page
+
+@q(
+    "a07_sort_topk",
+    "SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal FROM supplier "
+    "ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 5",
+    "A7 dynamic sort + B3 top-k clamp (kg_schema.py:115-120; neo4j_client.py:144-156)",
+)
+def a07(spark, sf):
+    return (
+        _t(spark, sf, "supplier")
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+        .limit(5)
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@q(
+    "a08_pagination",
+    "SELECT p_partkey, p_name FROM part ORDER BY p_partkey LIMIT 20 OFFSET 40",
+    "A8 offset/limit pagination, page 3 of 20 (kg_schema.py:125-131)",
+)
+def a08(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        .orderBy("p_partkey")
+        .offset(40)
+        .limit(20)
+        .select("p_partkey", "p_name")
+    )
+
+
+# ------------------------------------------------------------- aggregates
+
+@q(
+    "a09_count",
+    "SELECT count(*) AS total FROM lineitem",
+    "A9 pagination total count (kg_schema.py:123)",
+)
+def a09(spark, sf):
+    return _t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("total"))
+
+
+@q(
+    "a10_max",
+    "SELECT max(o_orderkey) AS max_key FROM orders",
+    "A10 max(version) auto-increment (kg_schema.py:37-40)",
+)
+def a10(spark, sf):
+    return _t(spark, sf, "orders").agg(F.max("o_orderkey").alias("max_key"))
+
+
+@q(
+    "a11_group_count",
+    "SELECT source, count(*) AS n FROM documents GROUP BY source",
+    "A11 per-source counts (brainstorm_session.py:451-453)",
+)
+def a11(spark, sf):
+    return _t(spark, sf, "documents").groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "a12_avg",
+    "SELECT c_nationkey, ROUND(avg(c_acctbal), 4) AS avg_bal, count(*) AS n "
+    "FROM customer GROUP BY c_nationkey",
+    "A12 mean ignoring nulls (research_keyword.py:369-371)",
+)
+def a12(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.round(F.avg("c_acctbal"), 4).alias("avg_bal"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "a13_histogram",
+    "SELECT CAST(floor(value / 20) AS INT) AS bucket, count(*) AS n "
+    "FROM events WHERE value IS NOT NULL GROUP BY 1",
+    "A13 bucketed histogram (research_keyword.py:373-387)",
+)
+def a13(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.floor(F.col("value") / 20).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "a14_conditional_count",
+    "SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_purchases FROM events GROUP BY user_id",
+    "A14 conditional count (research_keyword.py:356-357)",
+)
+def a14(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchases"
+            )
+        )
+    )
+
+
+# ------------------------------------------------------- dedup / set ops
+
+@q(
+    "a15_anti_join_new_only",
+    "SELECT DISTINCT e.user_id FROM events e "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id)",
+    "A15 insert-if-absent duplicate check (research_paper.py:29-35)",
+)
+def a15(spark, sf):
+    events = _t(spark, sf, "events").select("user_id").distinct()
+    orders = _t(spark, sf, "orders").select(F.col("o_custkey").alias("user_id"))
+    return events.join(orders, "user_id", "left_anti")
+
+
+@q(
+    "a16_ci_distinct",
+    "SELECT DISTINCT lower(p_brand) AS brand FROM part",
+    "A16 case-insensitive unique key (research_keyword.py model:13)",
+)
+def a16(spark, sf):
+    return _t(spark, sf, "part").select(F.lower("p_brand").alias("brand")).distinct()
+
+
+@q(
+    "a18_bulk_merge_semantics",
+    "SELECT user_id, ROUND(max(value), 2) AS weight, "
+    "string_agg(event_type, '; ' ORDER BY ts, event_id) AS rationale, "
+    "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS is_primary "
+    "FROM events GROUP BY user_id",
+    "A18 bulk-merge: max weight, '; '-joined rationale in deterministic "
+    "order, OR of is_primary (research_keyword.py:129-137)",
+)
+def a18(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.max("value"), 2).alias("weight"),
+        F.concat_ws(
+            "; ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("rationale"),
+        (F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) == 1).alias(
+            "is_primary"
+        ),
+    )
+
+
+@q(
+    "a19_delete_not_found",
+    "SELECT DISTINCT o_custkey AS id FROM orders "
+    "WHERE o_custkey NOT IN (SELECT user_id FROM events)",
+    "A19 bulk delete reporting not_found ids (research_keyword.py:302-339)",
+)
+def a19(spark, sf):
+    requested = _t(spark, sf, "orders").select(F.col("o_custkey").alias("id")).distinct()
+    present = _t(spark, sf, "events").select(F.col("user_id").alias("id"))
+    return requested.join(present, "id", "left_anti")
+
+
+@q(
+    "a20_set_diff",
+    "SELECT brand, 'added' AS change FROM ("
+    " SELECT DISTINCT p_brand AS brand FROM part WHERE p_size > 25"
+    " EXCEPT SELECT DISTINCT p_brand FROM part WHERE p_size <= 25) "
+    "UNION ALL "
+    "SELECT brand, 'removed' AS change FROM ("
+    " SELECT DISTINCT p_brand AS brand FROM part WHERE p_size <= 25"
+    " EXCEPT SELECT DISTINCT p_brand FROM part WHERE p_size > 25)",
+    "A20 schema set-difference diff (kg_schema.py:610-630)",
+)
+def a20(spark, sf):
+    part = _t(spark, sf, "part")
+    big = part.filter(F.col("p_size") > 25).select(F.col("p_brand").alias("brand")).distinct()
+    small = (
+        part.filter(F.col("p_size") <= 25).select(F.col("p_brand").alias("brand")).distinct()
+    )
+    return big.exceptAll(small).withColumn("change", F.lit("added")).unionByName(
+        small.exceptAll(big).withColumn("change", F.lit("removed"))
+    )
+
+
+# ------------------------------------------------------------------ joins
+
+@q(
+    "a25_joined_load",
+    "SELECT c.c_mktsegment AS segment, n.n_name AS nation, "
+    "ROUND(sum(o.o_totalprice), 2) AS revenue, count(*) AS n_orders "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY 1, 2",
+    "A25 joinedload N+1 avoidance → broadcast dim joins (research_keyword.py:405-412)",
+)
+def a25(spark, sf):
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "c13_dedup_latest_per_key",
+    "SELECT user_id, event_id, event_type FROM events "
+    "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1",
+    "C13 per-key dedup keeping latest timestamp (research_paper.py model:13-14)",
+)
+def c13(spark, sf):
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        _t(spark, sf, "events")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+# -------------------------------------------------- headline bench queries
+
+@q(
+    "tpch_q1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, ROUND(sum(l_quantity), 2) AS sum_qty, "
+    "ROUND(sum(l_extendedprice), 2) AS sum_base, "
+    "ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, "
+    "ROUND(avg(l_quantity), 4) AS avg_qty, count(*) AS n "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+    "headline scan+agg (partial/map-side aggregation path)",
+)
+def q1(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "tpch_q3_shipping_priority",
+    "SELECT o.o_orderkey AS orderkey, "
+    "ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "GROUP BY o.o_orderkey ORDER BY revenue DESC, orderkey ASC LIMIT 10",
+    "headline join+agg+topk (broadcast dim, shuffle on fact key)",
+)
+def q3(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q5_local_supplier_volume",
+    "SELECT n.n_name AS nation, "
+    "ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY n.n_name",
+    "headline multi-join star query (broadcast all dims)",
+)
+def q5(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )

@@ -1,0 +1,312 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis /
+multimodal) over the driver testdata, plus KG-stage queries checked
+against the frozen golden fixtures.
+
+Registered into the same REGISTRY as the relational surface; each entry
+pairs the DataFrame implementation with a DuckDB oracle where the
+semantics are SQL-expressible (probabilistic LSH candidate generation is
+not — those entries are rows-only checked, stated in their docstrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphlab_spark.functions import textstats as TS
+from graphlab_spark.operators import ann as ANN
+from graphlab_spark.operators import dedup as DD
+from graphlab_spark.operators import multimodal as MM
+from graphlab_spark.plans.relational import _t, q
+
+REPO_FIXTURES = "/root/repo/fixtures"
+
+# SQL fragment mirroring dedup.shingles_col (token 3-grams, distinct)
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_SHINGLES = (
+    f"list_distinct(list_transform(generate_series(0, greatest(len({_TOKS}) - 3, 0)), "
+    f"i -> array_to_string({_TOKS}[i + 1 : i + 3], ' ')))"
+)
+
+# SQL fragment mirroring dedup.with_planted_near_dups(every=10)
+_PLANTED_SUBSET = (
+    "(SELECT doc_id, text FROM documents WHERE doc_id < 500 "
+    "UNION ALL "
+    "SELECT doc_id + 10000000 AS doc_id, text || ' zq0 zq1' AS text "
+    "FROM documents WHERE doc_id < 500 AND doc_id % 10 = 0)"
+)
+
+
+# ------------------------------------------------------------ text analysis
+
+@q(
+    "t01_token_count",
+    f"SELECT doc_id, {TS.TOKEN_COUNT_SQL} AS n_tokens, "
+    f"{TS.TOKEN_ESTIMATE_SQL} AS n_tokens_bpe FROM documents",
+    "token counting: whitespace + BPE-ish chars/4 estimate",
+)
+def t01(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        TS.token_count_col().alias("n_tokens"),
+        TS.token_estimate_col().alias("n_tokens_bpe"),
+    )
+
+
+@q(
+    "t02_quality_score",
+    f"SELECT doc_id, {TS.QUALITY_SCORE_SQL} AS quality FROM documents",
+    "quality scoring: length/stopword/token-shape heuristic",
+)
+def t02(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", TS.quality_score_col().alias("quality")
+    )
+
+
+@q(
+    "t03_lang_id",
+    f"SELECT doc_id, {TS.lang_id_sql()} AS pred_lang FROM documents",
+    "language-ID marker-word heuristic (argmax with fixed tie order)",
+)
+def t03(spark, sf):
+    return _t(spark, sf, "documents").select("doc_id", TS.lang_id_col().alias("pred_lang"))
+
+
+@q(
+    "t04_fingerprint",
+    f"SELECT doc_id, {TS.FINGERPRINT_SQL} AS fingerprint FROM documents",
+    "document fingerprinting: md5 of normalized text",
+)
+def t04(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", TS.fingerprint_col().alias("fingerprint")
+    )
+
+
+# ------------------------------------------------------------------- dedup
+
+_EXACT_DUP_INPUT = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 20000000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 20 = 0)"
+)
+
+
+def _with_exact_dups(spark, sf):
+    docs = _t(spark, sf, "documents")
+    copies = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
+@q(
+    "d01_exact_dup_groups",
+    f"SELECT {TS.FINGERPRINT_SQL} AS fingerprint, count(*) AS n_docs, "
+    f"min(doc_id) AS keeper FROM {_EXACT_DUP_INPUT} "
+    "GROUP BY 1 HAVING count(*) > 1",
+    "exact dedup: hash-groupBy duplicate groups (planted copies)",
+)
+def d01(spark, sf):
+    return DD.exact_dup_groups(_with_exact_dups(spark, sf))
+
+
+@q(
+    "d02_exact_dedup_keepers",
+    f"SELECT doc_id FROM {_EXACT_DUP_INPUT} "
+    f"QUALIFY row_number() OVER (PARTITION BY {TS.FINGERPRINT_SQL} ORDER BY doc_id) = 1",
+    "exact dedup: keep min doc_id per fingerprint",
+)
+def d02(spark, sf):
+    return DD.exact_dedup(_with_exact_dups(spark, sf)).select("doc_id")
+
+
+@q(
+    "d03_ngram_jaccard_pairs",
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 / "
+    "len(list_distinct(a.sh || b.sh)), 4) AS jaccard "
+    f"FROM (SELECT doc_id, {_SHINGLES} AS sh FROM {_PLANTED_SUBSET}) a "
+    f"JOIN (SELECT doc_id, {_SHINGLES} AS sh FROM {_PLANTED_SUBSET}) b "
+    "ON a.doc_id < b.doc_id "
+    "WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / "
+    "len(list_distinct(a.sh || b.sh)) >= 0.8",
+    "n-gram Jaccard near-dup: exact token-3gram pairs on planted dups",
+)
+def d03(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    planted = DD.with_planted_near_dups(docs)
+    return DD.jaccard_pairs_exact(planted, threshold=0.8)
+
+
+@q(
+    "d04_minhash_lsh_pairs",
+    None,  # LSH candidate generation is probabilistic — rows-only check;
+    # the verify step makes output ⊆ d03's exact pairs (tested).
+    "MinHash-LSH dedup: banded buckets + exact-Jaccard verification",
+)
+def d04(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    planted = DD.with_planted_near_dups(docs)
+    return DD.minhash_lsh_pairs(planted, threshold=0.8)
+
+
+@q(
+    "d05_simhash_pairs",
+    None,  # 64-bit simhash bit math is not expressible in the oracle.
+    "SimHash near-dup: 16-bit band blocking + Hamming verify "
+    "(recall guaranteed for Hamming ≤ 3 by pigeonhole)",
+)
+def d05(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    planted = DD.with_planted_near_dups(docs)
+    return DD.simhash_near_pairs(planted, max_hamming=3)
+
+
+@q(
+    "d06_embedding_near_dup",
+    "SELECT a.vec_id AS a, b.vec_id AS b, "
+    "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])), 4) AS score "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE a.vec_id < 1500 AND b.vec_id < 1500 AND "
+    "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) >= 0.45",
+    "embedding-cosine near-dup pairs (bounded subset, exact)",
+)
+def d06(spark, sf):
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1500)
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cos", ANN.cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.45)
+        .select("a", "b", F.round("cos", 4).alias("score"))
+    )
+
+
+# -------------------------------------------------------------- similarity
+
+@q(
+    "s01_ann_bruteforce_topk",
+    "SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, "
+    "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(n.embedding AS DOUBLE[])), 4) DESC, n.vec_id ASC) AS rank, "
+    "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(n.embedding AS DOUBLE[])), 4) AS score "
+    "FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id "
+    "WHERE q.vec_id < 10 "
+    "QUALIFY rank <= 5",
+    "ANN baseline: brute-force cosine top-5 for 10 query vectors",
+)
+def s01(spark, sf):
+    return ANN.brute_force_topk(_t(spark, sf, "embeddings"), list(range(10)), k=5)
+
+
+@q(
+    "s02_ann_lsh_topk",
+    None,  # sign-random-projection buckets are not oracle-expressible.
+    "ANN scale path: LSH-bucketed candidates + exact re-rank",
+)
+def s02(spark, sf):
+    return ANN.lsh_topk(_t(spark, sf, "embeddings"), list(range(10)), k=5)
+
+
+# -------------------------------------------------------------- multimodal
+
+_MEDIA_SQL_FIELDS = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END AS media_type, "
+    "32 * (doc_id % 7 + 1) AS n_bytes"
+)
+
+
+@q(
+    "m01_media_meta",
+    f"SELECT doc_id, media_type, n_bytes, "
+    "CAST(64 + n_bytes % 192 AS INT) AS width, "
+    "CAST(64 + n_bytes % 128 AS INT) AS height, "
+    "CAST(CASE WHEN media_type = 'image' THEN 1 ELSE 1 + n_bytes % 24 END AS INT) AS n_frames "
+    f"FROM (SELECT doc_id, {_MEDIA_SQL_FIELDS} FROM documents)",
+    "multimodal: binary media column → typed metadata via mapInPandas "
+    "(decode stubbed deterministically; real decoder raises NotImplementedError)",
+)
+def m01(spark, sf):
+    return MM.decode_media(MM.attach_fake_media(_t(spark, sf, "documents")))
+
+
+@q(
+    "m02_frame_sample_counts",
+    "SELECT media_type, CAST(sum((n_frames - 1) // 4 + 1) AS BIGINT) AS n_frames_sampled "
+    "FROM (SELECT doc_id, media_type, "
+    "CASE WHEN media_type = 'image' THEN 1 ELSE 1 + n_bytes % 24 END AS n_frames "
+    f"FROM (SELECT doc_id, {_MEDIA_SQL_FIELDS} FROM documents)) GROUP BY media_type",
+    "multimodal: per-frame sampling fan-out counts",
+)
+def m02(spark, sf):
+    meta = MM.decode_media(MM.attach_fake_media(_t(spark, sf, "documents")))
+    return MM.frame_sample(meta, every=4).groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled")
+    )
+
+
+# ----------------------------------------------------------- skew handling
+
+@q(
+    "c11_salted_groupby",
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id",
+    "C11 salted two-phase aggregation — identical result to a plain "
+    "groupBy, hot keys spread over 16 salt reducers in phase 1",
+)
+def c11(spark, sf):
+    from graphlab_spark.operators.skew import salted_count
+
+    return salted_count(_t(spark, sf, "events"), "user_id")
+
+
+# ----------------------------------------------------------- KG-stage gates
+
+@q(
+    "kg_c2_extract_md5",
+    f"SELECT url, md5(text) AS text_md5 FROM '{REPO_FIXTURES}/golden_text.parquet'",
+    "C2 byte-identity: md5 of live extraction vs the frozen golden text",
+)
+def kg_c2(spark, sf):
+    from graphlab_spark.operators.extract import extract_stage
+    from graphlab_spark.sources import corpus
+
+    pages = corpus.generate_pages(spark, 300)
+    return extract_stage(pages).select("url", F.md5(F.col("text")).alias("text_md5"))
+
+
+@q(
+    "kg_c4_pred_counts",
+    f"SELECT pred, count(*) AS n FROM '{REPO_FIXTURES}/golden_triples.parquet' GROUP BY pred",
+    "C4 triple extraction: per-predicate counts vs the frozen reference set",
+)
+def kg_c4(spark, sf):
+    from graphlab_spark.operators.extract import extract_stage
+    from graphlab_spark.operators.triples import triples_stage
+    from graphlab_spark.sources import corpus
+
+    pages = corpus.generate_pages(spark, 300)
+    docs = extract_stage(pages)
+    return triples_stage(docs).groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "kg_c10_canonical_edges",
+    f"SELECT DISTINCT subj_id AS src, pred, obj_id AS dst "
+    f"FROM '{REPO_FIXTURES}/golden_triples.parquet'",
+    "C5-C10 full link+canonicalize gate: distinct canonical edges vs golden",
+)
+def kg_c10(spark, sf):
+    from graphlab_spark.plans.pipeline import run_pipeline_in_memory
+    from graphlab_spark.sources import corpus
+
+    pages = corpus.generate_pages(spark, 300)
+    aliases = corpus.alias_df(spark)
+    res = run_pipeline_in_memory(spark, pages, aliases)
+    return res["edges"].select("src", "pred", "dst").distinct()

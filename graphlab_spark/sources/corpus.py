@@ -253,8 +253,14 @@ def _filler_sentence(rng: random.Random, lang: str) -> str:
     return s[0].upper() + s[1:] + "."
 
 
-def page_record(i: int) -> dict:
-    """Pure function id -> page row. No wall-clock, no global RNG."""
+def page_record(i: int, heavy: bool = False) -> dict:
+    """Pure function id -> page row. No wall-clock, no global RNG.
+
+    ``heavy=True`` pads pages with ~8x more filler prose (realistic
+    Common-Crawl page weight, used by throughput/scaling benchmarks).
+    The default shape is what the frozen golden fixtures cover — never
+    change it without re-freezing.
+    """
     rng = random.Random(f"{SEED}:page:{i}")
     lang = _LANGS.get(i % 20, "en")
 
@@ -269,7 +275,7 @@ def page_record(i: int) -> dict:
 
     rels = page_relations(i)
     sentences: list[str] = []
-    n_filler = 3 + rng.randrange(5)
+    n_filler = 3 + rng.randrange(5) + (35 if heavy else 0)
     fillers = [_filler_sentence(rng, lang) for _ in range(n_filler)]
     for k, (_, pred, _, ss, os_) in enumerate(rels):
         sentences.append(RELATION_TEMPLATES[pred][2].format(s=ss, o=os_))
@@ -309,20 +315,27 @@ def generate_pages_local(n_pages: int) -> list[dict]:
     return [page_record(i) for i in range(n_pages)]
 
 
-def generate_pages(spark: SparkSession, n_pages: int, partitions: int | None = None) -> DataFrame:
+def generate_pages(
+    spark: SparkSession,
+    n_pages: int,
+    partitions: int | None = None,
+    heavy: bool = False,
+) -> DataFrame:
     """Distributed generation: spark.range → mapInPandas, one pure fn of id."""
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = [page_record(int(i)) for i in b["id"]]
+            rows = [page_record(int(i), heavy=heavy) for i in b["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
 
     return spark.range(0, n_pages, numPartitions=parts).mapInPandas(gen, PAGES_SCHEMA)
 
 
 def alias_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(pd.DataFrame(alias_rows()), schema=ALIASES_SCHEMA)
+    # dictionary-sized: one partition, or every collect/broadcast of it
+    # schedules defaultParallelism tasks
+    return spark.createDataFrame(pd.DataFrame(alias_rows()), schema=ALIASES_SCHEMA).coalesce(1)
 
 
 def golden_triples_local(n_pages: int) -> list[dict]:

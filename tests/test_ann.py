@@ -1,0 +1,66 @@
+"""ANN: brute-force exactness vs numpy; LSH approximation properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from graphlab_spark.operators import ann as ANN
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").localCheckpoint()
+
+
+def test_bruteforce_matches_numpy(spark, embs):
+    rows = embs.collect()
+    V = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    got = ANN.brute_force_topk(embs, [0, 1, 2], k=3).collect()
+    for qid in [0, 1, 2]:
+        q = V[qid]
+        scores = {
+            nid: round(float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v))), 4)
+            for nid, v in V.items()
+            if nid != qid
+        }
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        mine = sorted(
+            [(r.neighbor_id, r.score) for r in got if r.query_id == qid],
+            key=lambda kv: -kv[1],
+        )
+        assert mine == expect, (qid, mine, expect)
+
+
+def test_lsh_results_subset_of_corpus_and_ranked(spark, embs):
+    out = ANN.lsh_topk(embs, [0, 1, 2, 3], k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        scores = [r.score for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_finds_planted_strong_neighbors(spark, embs):
+    """Sign-random-projection LSH finds STRONG neighbors (cos≈1) with
+    near-certain probability — that's its contract; weak neighbors in
+    random data (cos≈0.3) are beyond any LSH at this table budget."""
+    from pyspark.sql import functions as F
+
+    qids = list(range(8))
+    copies = embs.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    planted = embs.unionByName(copies)
+    lsh = {
+        r.query_id: r.neighbor_id
+        for r in ANN.lsh_topk(planted, qids, k=1).collect()
+        if r.rank == 1
+    }
+    hits = sum(1 for q in qids if lsh.get(q) == q + 10_000)
+    assert hits >= 7, (hits, lsh)

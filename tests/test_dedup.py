@@ -1,0 +1,69 @@
+"""Dedup tiers: exact, exact-Jaccard, MinHash-LSH, SimHash."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphlab_spark.operators import dedup as DD
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("doc_id") < 200)
+    return DD.with_planted_near_dups(docs).localCheckpoint()
+
+
+def test_exact_dedup_removes_planted_copies(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    both = docs.unionByName(copies)
+    groups = DD.exact_dup_groups(both)
+    n_copies = copies.count()
+    assert groups.count() == n_copies
+    # keeper is always the original (smaller id)
+    assert groups.filter(F.col("keeper") >= 1_000_000).count() == 0
+    assert DD.exact_dedup(both).count() == docs.count()
+
+
+def test_minhash_equals_exact_jaccard_on_planted(spark, planted):
+    exact = {
+        (r.a, r.b) for r in DD.jaccard_pairs_exact(planted, threshold=0.8).collect()
+    }
+    lsh = {(r.a, r.b) for r in DD.minhash_lsh_pairs(planted, threshold=0.8).collect()}
+    # verification makes LSH ⊆ exact; 16x4 bands give ~full recall at J≥0.8
+    assert lsh.issubset(exact)
+    assert len(lsh) >= 0.98 * len(exact)
+    # every planted (original, copy) pair found
+    planted_pairs = {
+        (r.doc_id, r.doc_id + 10_000_000)
+        for r in planted.filter("doc_id < 200 AND doc_id % 10 = 0").collect()
+    }
+    assert planted_pairs.issubset(lsh)
+
+
+def test_simhash_guaranteed_recall_within_hamming_3(spark, planted):
+    """Pigeonhole: a pair within Hamming ≤ 3 of 64 bits shares one of the
+    four 16-bit chunks, so blocking recall is exactly 1.0 there."""
+    pairs = {(r.a, r.b) for r in DD.simhash_near_pairs(planted, max_hamming=3).collect()}
+    sims = {r.doc_id: r.simhash for r in DD.simhash_table(planted).collect()}
+    planted_close = {
+        (r.doc_id, r.doc_id + 10_000_000)
+        for r in planted.filter("doc_id < 200 AND doc_id % 10 = 0").collect()
+        if bin(sims[r.doc_id] ^ sims[r.doc_id + 10_000_000]).count("1") <= 3
+    }
+    assert planted_close, "fixture should plant some close pairs"
+    assert planted_close.issubset(pairs)
+    # and every returned pair genuinely verifies
+    for r in DD.simhash_near_pairs(planted, max_hamming=3).collect():
+        assert r.hamming <= 3
+
+
+def test_simhash_deterministic(spark, planted):
+    a = {(r.doc_id, r.simhash) for r in DD.simhash_table(planted).collect()}
+    b = {(r.doc_id, r.simhash) for r in DD.simhash_table(planted).collect()}
+    assert a == b
