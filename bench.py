@@ -91,8 +91,11 @@ def main() -> None:
         ),
     )
 
-    # --- KG pipeline last (its localCheckpoints pin executor memory)
-    pages = corpus.generate_pages(spark, n_pages)
+    # --- KG pipeline last. heavy=True since r02: realistic Common-Crawl
+    # per-doc weight (~8x more prose than the r01 light pages — r01's
+    # 822 docs/s at sf0.1 was measured on light pages and is not
+    # comparable to r02+ numbers).
+    pages = corpus.generate_pages(spark, n_pages, heavy=True)
     aliases = corpus.alias_df(spark)
     t0 = time.time()
     res = run_pipeline_in_memory(spark, pages, aliases)

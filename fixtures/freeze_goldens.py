@@ -5,6 +5,8 @@ Run once (and only deliberately): regenerates
 - golden_triples.parquet (url, subj_id, pred, obj_id, subj_surface,
                           obj_surface) — the P/R ≥ 0.95 "reference triple
                           set" of BASELINE.json
+- golden_relevance.parquet (url, relevance) — C14 keyword-weight doc
+                          ranking oracle (sum of matched alias weights)
 at N_PAGES pages of the seeded corpus, post per-url dedup.
 
 These parquet files are committed; tests compare live pipeline output
@@ -40,7 +42,34 @@ def main() -> None:
     pd.DataFrame(corpus.golden_triples_local(N_PAGES)).to_parquet(
         "fixtures/golden_triples.parquet", index=False
     )
-    print(f"froze {len(text_rows)} texts, {len(corpus.golden_triples_local(N_PAGES))} triples")
+
+    # C14: per-doc relevance (Spark-free replica of the kg_c14 query —
+    # gazetteer mentions of deduped docs joined to alias weights)
+    from graphlab_spark.operators.mentions import _norm_key, build_alias_map, find_mentions
+
+    alias_rows = corpus.alias_rows()
+    alias_map = build_alias_map(iter(alias_rows))
+    weights: dict[str, float] = {}
+    for r in alias_rows:
+        k = _norm_key(r["alias"])
+        weights[k] = max(weights.get(k, 0.0), r["weight"])
+    rel_rows = []
+    for url, i in sorted(latest.items()):
+        text = extract_text_bytes(recs[i]["html"])
+        total = sum(
+            weights[_norm_key(m["surface"])]
+            for m in find_mentions(text, alias_map)
+            if m["m_type"] != "UNK" and _norm_key(m["surface"]) in weights
+        )
+        if total > 0:
+            rel_rows.append({"url": url, "relevance": round(total, 4)})
+    pd.DataFrame(rel_rows).to_parquet("fixtures/golden_relevance.parquet", index=False)
+
+    print(
+        f"froze {len(text_rows)} texts, "
+        f"{len(corpus.golden_triples_local(N_PAGES))} triples, "
+        f"{len(rel_rows)} relevance rows"
+    )
 
 
 if __name__ == "__main__":

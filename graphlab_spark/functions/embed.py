@@ -59,12 +59,10 @@ def embed_udf(surfaces: pd.Series) -> pd.Series:
     return surfaces.map(lambda s: embed_surface(s).tolist())
 
 
-@F.pandas_udf(T.DoubleType())
-def cosine_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Batched cosine over two array<float> columns (rows already paired).
-
-    Stacks each Arrow batch into a dense matrix → one numpy einsum, not a
-    per-row Python loop.
+def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched cosine kernel shared by the Spark UDF and the driver-side
+    vocabulary fast path — ONE implementation so both produce bit-identical
+    scores (row-independent einsum: batch boundaries don't change values).
     """
     ma = np.stack(a.map(lambda v: np.asarray(v, dtype=np.float32)).to_numpy())
     mb = np.stack(b.map(lambda v: np.asarray(v, dtype=np.float32)).to_numpy())
@@ -72,3 +70,9 @@ def cosine_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     nb = np.linalg.norm(mb, axis=1)
     denom = np.where((na == 0) | (nb == 0), 1.0, na * nb)
     return pd.Series(np.einsum("ij,ij->i", ma, mb) / denom)
+
+
+@F.pandas_udf(T.DoubleType())
+def cosine_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched cosine over two array<float> columns (rows already paired)."""
+    return cosine_batch(a, b)

@@ -55,12 +55,13 @@ def similarity_pairs(
     J = 0.72 the 16×4 band layout has candidate recall ≈ 0.993.
     """
     from graphlab_spark.operators.dedup import N_BANDS, N_HASHES, minhash_udf
+    from graphlab_spark.operators.scratch import materialize
 
     feat = items.select(
         F.col(id_col).alias("item_id"),
         grams_udf(F.col(text_col)).alias("grams"),
     ).filter(F.size("grams") > 0)
-    sigs = feat.withColumn("sig", minhash_udf(F.col("grams"))).localCheckpoint()
+    sigs = materialize(feat.withColumn("sig", minhash_udf(F.col("grams"))), "canon_sigs")
     rows_per_band = N_HASHES // N_BANDS
     bands = sigs.select(
         "item_id",
@@ -131,6 +132,8 @@ def connected_components(
     iteration; convergence checked every ``check_every`` iterations
     (each check is a job; variant components have tiny diameters).
     """
+    from graphlab_spark.operators.scratch import materialize
+
     spark = edges.sparkSession
     small = edges.limit(driver_threshold + 1).count() <= driver_threshold
     if small:
@@ -139,17 +142,17 @@ def connected_components(
         if not mapping:
             return spark.createDataFrame([], "item_id string, component_id string")
         return spark.createDataFrame(mapping, "item_id string, component_id string")
-    sym = (
+    sym = materialize(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "cc_sym",
     )
-    labels = (
+    labels = materialize(
         sym.select(F.col("src").alias("item_id"))
         .distinct()
-        .withColumn("component_id", F.col("item_id"))
-        .localCheckpoint()
+        .withColumn("component_id", F.col("item_id")),
+        "cc_labels",
     )
     for it in range(1, max_iter + 1):
         nbr_min = (
@@ -157,15 +160,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component_id").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.item_id == nbr_min.src, "left")
-            .select(
+        new_labels = materialize(
+            labels.join(nbr_min, labels.item_id == nbr_min.src, "left").select(
                 "item_id",
                 F.least(
                     F.col("component_id"), F.coalesce(F.col("nbr_comp"), F.col("component_id"))
                 ).alias("component_id"),
-            )
-            .localCheckpoint()
+            ),
+            "cc_iter",
         )
         if it % check_every == 0 or it == max_iter:
             changed = (
@@ -197,10 +199,15 @@ def canonicalize_stage(
     or — for components with no known member — the smallest unknown id.
     Deterministic and stable across runs.
     """
-    entities = entities.coalesce(4)  # vocabulary-sized input by contract
+    # Vocabulary-sized input, but NOT fixed-parallelism: repartition on the
+    # key and let AQE coalesce — a tiny vocab runs as one fat task, a
+    # 10^8-entity vocab spreads the MinHash UDF over the cluster (a
+    # hardcoded coalesce(4) would serialize it onto 4 tasks).
+    entities = entities.repartition("entity_id")
     pairs = similarity_pairs(spark, entities, id_col="entity_id", jaccard_dist=jaccard_dist)
-    known = entities.filter(F.col("is_known")).select(F.col("entity_id").alias("kid"))
-    kb = F.broadcast(known)
+    # known set is vocabulary-derived — no explicit broadcast (AQE picks
+    # broadcast only while it actually fits; see VERDICT r1 item 1).
+    kb = entities.filter(F.col("is_known")).select(F.col("entity_id").alias("kid"))
     pairs = (
         pairs.join(kb.withColumnRenamed("kid", "a_k"), pairs.a == F.col("a_k"), "left")
         .join(kb.withColumnRenamed("kid", "b_k"), pairs.b == F.col("b_k"), "left")
@@ -227,3 +234,82 @@ def canonicalize_stage(
             .alias("canonical_id"),
         )
     )
+
+
+# --------------------------------------------- driver fast path (small vocab)
+
+def similarity_pairs_small(
+    items: list[tuple[str, str]], jaccard_dist: float = DEFAULT_JACCARD_DIST
+) -> list[tuple[str, str]]:
+    """Driver-side replica of :func:`similarity_pairs` for vocabulary sets
+    that fit on the driver: SAME minhash signatures (identical numpy
+    kernel + hash params), SAME 16×4 banding, SAME exact-Jaccard verify —
+    byte-identical pair set to the distributed path (equality is pinned
+    by a test). ``items``: [(item_id, text)]. Returns [(a, b)] with a<b.
+    """
+    from graphlab_spark.operators.dedup import N_BANDS, N_HASHES, _minhash_batch
+
+    rows_per_band = N_HASHES // N_BANDS
+    grams: dict[str, set[str]] = {}
+    ordered: list[str] = []
+    for item_id, text in items:
+        g = set(char_ngrams(_norm_key(text))) if text else set()
+        if g:
+            grams[item_id] = g
+            ordered.append(item_id)
+    if not ordered:
+        return []
+    sigs = _minhash_batch(pd.Series([sorted(grams[i]) for i in ordered]))
+    buckets: dict[tuple[int, tuple[int, ...]], list[str]] = {}
+    for item_id, sig in zip(ordered, sigs):
+        for b in range(N_BANDS):
+            key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(item_id)
+    cand: set[tuple[str, str]] = set()
+    for ids in buckets.values():
+        if len(ids) > 1:
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    cand.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(cand):
+        ga, gb = grams[a], grams[b]
+        jdist = 1 - len(ga & gb) / len(ga | gb)
+        if jdist <= jaccard_dist:
+            out.append((a, b))
+    return out
+
+
+def canonicalize_small(
+    entities: list[tuple[str, str, bool]],
+    jaccard_dist: float = DEFAULT_JACCARD_DIST,
+) -> dict[str, str]:
+    """Driver-side replica of :func:`canonicalize_stage` for small vocabs
+    (the adaptive fast path — same size-switch philosophy as
+    :func:`connected_components`'s driver union-find). Input rows:
+    (entity_id, surface, is_known), unique per entity_id. Returns
+    entity_id → canonical_id, identical to the distributed stage.
+    """
+    known = {eid for eid, _, k in entities if k}
+    pairs = [
+        (a, b)
+        for a, b in similarity_pairs_small([(e, s) for e, s, _ in entities], jaccard_dist)
+        if a not in known or b not in known  # drop known-known
+    ]
+    comp = dict(_driver_union_find(pairs))
+    known_min: dict[str, str] = {}
+    for item, root in comp.items():
+        if item in known and (root not in known_min or item < known_min[root]):
+            known_min[root] = item
+    mapping: dict[str, str] = {}
+    for eid, _, is_known in entities:
+        if is_known:
+            mapping[eid] = eid
+        else:
+            root = comp.get(eid)
+            if root is None:
+                mapping[eid] = eid
+            else:
+                mapping[eid] = known_min.get(root, root)
+    return mapping

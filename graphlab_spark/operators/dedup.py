@@ -82,10 +82,12 @@ def jaccard_pairs_exact(
     pairs = a.join(b, F.col("a") < F.col("b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # filter on the UNROUNDED ratio (matches the oracle's WHERE clause —
+    # rounding first would flap on boundary pairs), round only the output.
     return (
-        pairs.withColumn("jaccard", F.round(inter / union, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        pairs.withColumn("_j", inter / union)
+        .filter(F.col("_j") >= threshold)
+        .select("a", "b", F.round("_j", 4).alias("jaccard"))
     )
 
 
@@ -103,9 +105,13 @@ def _hash_params(n: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+# derived once at import — not per Arrow batch (hot path)
+_HASH_A, _HASH_B = _hash_params(N_HASHES)
+
+
 def _minhash_batch(shingle_lists: pd.Series) -> pd.Series:
     """Vectorized minhash signatures: one numpy pass per Arrow batch."""
-    a, b = _hash_params(N_HASHES)
+    a, b = _HASH_A, _HASH_B
     out = []
     for sh in shingle_lists:
         if sh is None or len(sh) == 0:
@@ -136,9 +142,14 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Candidate pairs via banded minhash buckets, verified with exact
     Jaccard. Shuffles on (band, bucket-signature) — bounded fan-out, no
     cross join; at 10^12 docs the bucket join is the only wide edge."""
-    sigs = docs.select(
-        "doc_id", shingles_col().alias("sh"), minhash_udf(shingles_col()).alias("sig")
-    ).localCheckpoint()  # reuse for both band explode and verify join
+    from graphlab_spark.operators.scratch import materialize
+
+    sigs = materialize(  # reused by band explode AND verify join — pin off-heap
+        docs.select("doc_id", shingles_col().alias("sh")).withColumn(
+            "sig", minhash_udf(F.col("sh"))
+        ),
+        "minhash_sigs",
+    )
     rows_per_band = N_HASHES // N_BANDS
     bands = sigs.select(
         "doc_id",
@@ -161,15 +172,12 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         cand.join(sigs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sigs.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ),
+            "_j",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        .filter(F.col("_j") >= threshold)  # unrounded, same as the exact tier
+        .select("a", "b", F.round("_j", 4).alias("jaccard"))
     )
     return verified
 
@@ -203,7 +211,9 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs: block on each of the four 16-bit simhash chunks
     (a pair within Hamming ≤ 3 of 64 bits shares at least one exact
     16-bit chunk by pigeonhole), verify with bit_count."""
-    sims = simhash_table(docs).localCheckpoint()
+    from graphlab_spark.operators.scratch import materialize
+
+    sims = materialize(simhash_table(docs), "simhash")
     chunks = sims.select(
         "doc_id",
         "simhash",

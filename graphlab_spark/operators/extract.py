@@ -67,21 +67,22 @@ def dedup_pages(pages: DataFrame, strategy: str = "slim") -> DataFrame:
     """C13: keep latest warc_ts per url.
 
     ``slim`` (default): aggregate max(warc_ts) over the two slim columns
-    only, then broadcast-semi-join back — the heavy ``html`` payload never
-    shuffles. Requires warc_ts unique per url (true for crawl data); on
-    ties both rows survive.
+    only, then semi-join back. The join strategy is deliberately LEFT TO
+    AQE: while the winners frame fits the broadcast threshold it becomes
+    a broadcast join (heavy ``html`` never shuffles); past it — 10^9 urls
+    is a driver OOM if broadcast were forced — AQE plans a shuffle join
+    with skew splitting. Requires warc_ts unique per url (true for crawl
+    data); on ties both rows survive.
 
-    ``window``: classic window top-1 — shuffles the full row. This is the
-    shape you'd use on a cluster where the url set exceeds broadcast size
-    AND the table is not already bucketed by url; at true 10^12-doc scale
-    the right answer is neither — bucket the Iceberg table by url at write
-    time so dedup is shuffle-free partition-local.
+    ``window``: classic window top-1 — shuffles the full row. At true
+    10^12-doc scale the right answer is neither — bucket the Iceberg
+    table by url at write time so dedup is shuffle-free partition-local.
     """
     if strategy == "slim":
         winners = pages.select("url", "warc_ts").groupBy("url").agg(
             F.max("warc_ts").alias("warc_ts")
         )
-        return pages.join(F.broadcast(winners), ["url", "warc_ts"], "left_semi")
+        return pages.join(winners, ["url", "warc_ts"], "left_semi")
     w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(), F.col("lang").asc())
     return (
         pages.withColumn("_rn", F.row_number().over(w))

@@ -89,6 +89,30 @@ def bulk_upsert_keywords(existing: DataFrame, incoming: DataFrame, mode: str) ->
     return merged.join(best.select(*KEY, "source"), KEY)
 
 
+def upsert_keywords_non_null(
+    existing: DataFrame, incoming: DataFrame, key: list[str] | None = None
+) -> DataFrame:
+    """A17 single-upsert semantics (ref ``research_keyword.py:47-61`` with
+    the lines-118-126 nuance): update-if-exists overwrites ONLY the
+    incoming fields that are not None — a None incoming field keeps the
+    existing value — and not-found rows insert as-is.
+
+    Set-level formulation: full-outer join on the key, per-field
+    ``coalesce(incoming, existing)``. Identical to the reference's row
+    loop for any batch size, including a single keyword.
+    """
+    key = key or KEY
+    value_cols = [c for c in existing.columns if c not in key]
+    if [c for c in incoming.columns if c not in key] != value_cols:
+        raise ValueError("existing/incoming must share the same columns")
+    e = existing.select(*key, *[F.col(c).alias(f"_e_{c}") for c in value_cols])
+    i = incoming.select(*key, *[F.col(c).alias(f"_i_{c}") for c in value_cols])
+    return e.join(i, key, "full_outer").select(
+        *key,
+        *[F.coalesce(F.col(f"_i_{c}"), F.col(f"_e_{c}")).alias(c) for c in value_cols],
+    )
+
+
 def bulk_delete_keywords(df: DataFrame, ids: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Delete rows whose id is in ``ids(id)``; also return the requested ids
     that were not found (research_keyword.py:302-339)."""

@@ -25,6 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 from hashlib import blake2b
 
@@ -33,11 +34,35 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from graphlab_spark.functions.embed import char_ngrams, cosine_pairs_udf, embed_udf
+from graphlab_spark.functions.embed import (
+    char_ngrams,
+    cosine_batch,
+    cosine_pairs_udf,
+    embed_surface,
+    embed_udf,
+)
 from graphlab_spark.operators.mentions import _norm_key
 
 MINK_GRAMS = 8
 DEFAULT_THRESHOLD = 0.70
+
+# Hard ceiling on the driver-resident alias dictionary. The dict is hot
+# METADATA (reference keeps it in Postgres) and must stay broadcastable;
+# a silently-collected 10^8-row table would OOM the driver long after the
+# design assumption broke. Fail loudly instead.
+MAX_ALIAS_ROWS = int(os.environ.get("SPARK_GRAFT_MAX_ALIAS_ROWS", "5000000"))
+
+
+def collect_alias_rows(aliases, max_rows: int = MAX_ALIAS_ROWS) -> list[dict]:
+    """Collect the alias dictionary to the driver, guarded by a row ceiling."""
+    rows = aliases.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"alias dictionary exceeds the driver-resident ceiling of {max_rows} rows; "
+            "it can no longer be collected/broadcast — partition the dictionary or raise "
+            "SPARK_GRAFT_MAX_ALIAS_ROWS deliberately"
+        )
+    return [r.asDict() for r in rows]
 
 
 def _gram_keys(key: str) -> list[str]:
@@ -109,7 +134,7 @@ def link_surfaces(
     links(surface, canonical_id, entity_type, score, method).
 
     One blocked broadcast join + batched cosine + window top-1."""
-    ablocks_rows, token_df = alias_block_rows([r.asDict() for r in aliases.collect()])
+    ablocks_rows, token_df = alias_block_rows(collect_alias_rows(aliases))
     ablocks = spark.createDataFrame(
         pd.DataFrame(ablocks_rows),
         "block_key string, akey string, canonical_id string, entity_type string",
@@ -153,6 +178,92 @@ def link_surfaces(
     )
 
 
+def link_surfaces_small(
+    surfaces: list[str],
+    alias_rows: list[dict],
+    threshold: float = DEFAULT_THRESHOLD,
+) -> list[dict]:
+    """Driver-side replica of :func:`link_surfaces` for vocabularies that
+    fit on the driver (the adaptive fast path — size-switched by the
+    pipeline; the distributed path is the 100 TB default). Same block
+    keys, same exact-hit rule, same :func:`cosine_batch` kernel → output
+    rows identical to the distributed path (pinned by a test).
+    """
+    ablocks_rows, token_df = alias_block_rows(alias_rows)
+    by_block: dict[str, list[dict]] = {}
+    for r in ablocks_rows:
+        by_block.setdefault(r["block_key"], []).append(r)
+
+    # candidate generation (blocked — never all-pairs, same keys as the UDF)
+    cand_by_surface: dict[str, list[dict]] = {}
+    fuzzy_pairs: list[tuple[str, str, dict]] = []  # (surface, skey, cand)
+    skeys: dict[str, str] = {}
+    for surface in surfaces:
+        skey = _norm_key(surface) if surface else None
+        skeys[surface] = skey
+        seen: set[tuple[str, str]] = set()
+        cands: list[dict] = []
+        for bk in _block_keys(surface, token_df):
+            for r in by_block.get(bk, ()):
+                k = (r["akey"], r["canonical_id"])
+                if k not in seen:
+                    seen.add(k)
+                    cands.append(r)
+        if cands:
+            cand_by_surface[surface] = cands
+            fuzzy_pairs.extend(
+                (surface, skey, c) for c in cands if c["akey"] != skey
+            )
+
+    # ONE vectorized cosine batch over every fuzzy candidate pair
+    # (einsum is row-independent, so global batching is bit-identical to
+    # the per-pair computation the Spark UDF performs)
+    emb_cache: dict[str, list[float]] = {}
+
+    def _emb(key: str) -> list[float]:
+        v = emb_cache.get(key)
+        if v is None:
+            v = embed_surface(key).tolist()
+            emb_cache[key] = v
+        return v
+
+    fuzzy_scores: list[float] = []
+    if fuzzy_pairs:
+        sv = pd.Series([_emb(sk) for _, sk, _ in fuzzy_pairs])
+        av = pd.Series([_emb(c["akey"]) for _, _, c in fuzzy_pairs])
+        fuzzy_scores = [float(s) for s in cosine_batch(sv, av)]
+    score_of: dict[tuple[str, str, str], float] = {
+        (s, c["akey"], c["canonical_id"]): sc
+        for (s, _, c), sc in zip(fuzzy_pairs, fuzzy_scores)
+    }
+
+    out: list[dict] = []
+    for surface, cands in cand_by_surface.items():
+        skey = skeys[surface]
+        scored = [
+            (
+                1.0 if c["akey"] == skey else score_of[(surface, c["akey"], c["canonical_id"])],
+                c["canonical_id"],
+                c,
+                "exact" if c["akey"] == skey else "fuzzy",
+            )
+            for c in cands
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        score, cid, best, method = scored[0]
+        if score >= threshold:
+            out.append(
+                {
+                    "surface": surface,
+                    "canonical_id": cid,
+                    "entity_type": best["entity_type"],
+                    "score": score,
+                    "method": method,
+                }
+            )
+    return out
+
+
 def linking_stage(
     spark: SparkSession,
     mentions: DataFrame,
@@ -163,9 +274,9 @@ def linking_stage(
     unlinked mentions keep canonical_id = NULL for canonicalization)."""
     surfaces = mentions.select("surface").distinct()
     links = link_surfaces(spark, surfaces, aliases, threshold)
-    # links is vocabulary-sized → broadcast; AQE splits skewed hot surfaces.
+    # links is vocabulary-sized (~10^8 distinct surfaces at 100 TB) — no
+    # explicit broadcast: AQE broadcasts only while it actually fits and
+    # splits skewed hot surfaces otherwise (VERDICT r1 item 1).
     return mentions.join(
-        F.broadcast(links.withColumnRenamed("score", "link_score")),
-        "surface",
-        "left",
+        links.withColumnRenamed("score", "link_score"), "surface", "left"
     )

@@ -6,12 +6,16 @@ items — ``backend/app/models/processing_job.py:17-32``) and ``job_steps``
 job_step.py:13-26``); the README promises "deterministic, auditable
 pipelines with traceable provenance" (``backend/README.md:8``).
 
-Model: an append-only parquet table. A stage run is identified by
-``(run_id, stage, input_fingerprint)``; each logical partition of the
-stage writes one ``completed`` row with counters. On restart, a stage
-reads its completed partitions and ANTI-JOINS them away from the input —
-work already done is skipped and the output is reused, which is exactly
-the idempotent mid-run resume the north_star requires.
+Model: an append-only parquet table. A completed bucket is identified by
+``(run_id, stage, partition_id, input_fp)`` where ``input_fp`` is an
+order-independent content fingerprint of the bucket's input keys
+(sum of xxhash64). On restart, a stage recomputes the per-bucket input
+fingerprints, keeps only completed rows whose fingerprint STILL matches,
+and anti-joins those away from the input — work already done on the same
+input is skipped and its output reused; a bucket whose input changed is
+recomputed (rerunning a run_id against different input can never return
+stale output). This is the idempotent mid-run resume the north_star
+requires.
 
 Partition granularity here is a stable hash bucket of the row key (url),
 NOT the physical Spark partition id — physical ids change with
@@ -34,6 +38,7 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("status", T.StringType(), False),
         T.StructField("rows_in", T.LongType(), True),
+        T.StructField("input_fp", T.LongType(), True),
         T.StructField("rows_out", T.LongType(), True),
         T.StructField("counters", T.MapType(T.StringType(), T.LongType()), True),
         T.StructField("attempt", T.IntegerType(), False),
@@ -64,22 +69,28 @@ class Manifest:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
 
     def completed_partitions(self, run_id: str, stage: str) -> DataFrame:
+        """Completed buckets with their input fingerprints. Callers join on
+        (partition_id, input_fp) so a fingerprint mismatch reads as
+        not-completed."""
+        df = self.read()
+        if "input_fp" not in df.columns:  # pre-fingerprint manifest
+            df = df.withColumn("input_fp", F.lit(None).cast("long"))
         return (
-            self.read()
-            .filter(
+            df.filter(
                 (F.col("run_id") == run_id)
                 & (F.col("stage") == stage)
                 & (F.col("status") == "completed")
             )
-            .select("partition_id")
+            .select("partition_id", "input_fp")
             .distinct()
         )
 
     def pending_input(
         self, data: DataFrame, run_id: str, stage: str, key_col: str = "url"
     ) -> DataFrame:
-        """Filter ``data`` down to rows whose bucket is not yet completed."""
-        done = self.completed_partitions(run_id, stage)
+        """Filter ``data`` down to rows whose bucket is not yet completed
+        (bucket-id check only; run_stage adds the fingerprint match)."""
+        done = self.completed_partitions(run_id, stage).select("partition_id")
         keyed = data.withColumn("partition_id", bucket_of(key_col))
         return keyed.join(F.broadcast(done), "partition_id", "left_anti").drop("partition_id")
 
@@ -90,12 +101,15 @@ class Manifest:
         stats: DataFrame,
         attempt: int = 1,
     ) -> None:
-        """Append completed rows. ``stats``: (partition_id, rows_in, rows_out).
+        """Append completed rows.
+        ``stats``: (partition_id, rows_in, input_fp, rows_out).
 
         Timestamps are wall-clock bookkeeping only — they never influence
         data content (determinism is over data, not over audit columns).
         """
         now = _dt.datetime.now(_dt.timezone.utc)
+        if "input_fp" not in stats.columns:
+            stats = stats.withColumn("input_fp", F.lit(None).cast("long"))
         rows = (
             stats.select(
                 F.lit(run_id).alias("run_id"),
@@ -103,6 +117,7 @@ class Manifest:
                 F.col("partition_id").cast("int"),
                 F.lit("completed").alias("status"),
                 F.col("rows_in").cast("long"),
+                F.col("input_fp").cast("long"),
                 F.col("rows_out").cast("long"),
                 F.create_map(F.lit("rows_out"), F.col("rows_out").cast("long")).alias("counters"),
                 F.lit(attempt).alias("attempt"),

@@ -16,11 +16,57 @@ downstream joins on id are co-partitioned.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 NODES_COLS = ["id", "canonical_name", "entity_type", "aliases", "n_mentions"]
 EDGES_COLS = ["src", "pred", "dst", "n_evidence", "evidence", "weight"]
+
+# B6 — output-name injection guard. Mirrors the reference's Neo4j database
+# name validation regex ^[A-Za-z][A-Za-z0-9_]*$
+# (backend/app/utils/neo4j_client.py:29-39): table / directory names that
+# reach a SQL statement or a filesystem path must be plain identifiers.
+_NAME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9_]*$")
+
+
+def validate_output_name(name: str) -> str:
+    """Reject table/path-component names that could inject into SQL or
+    escape the output directory (ref neo4j_client.py:29-39)."""
+    if not isinstance(name, str) or not _NAME_RE.match(name):
+        raise ValueError(
+            f"invalid output name {name!r}: must match ^[A-Za-z][A-Za-z0-9_]*$"
+        )
+    return name
+
+
+def merge_into_sql(
+    target_table: str,
+    source_view: str,
+    keys: list[str],
+    columns: list[str],
+) -> str:
+    """Generate the Iceberg/Delta ``MERGE INTO`` statement equivalent to
+    :func:`merge_upsert` (the production sink path; parquet tests use the
+    anti-join emulation below). Names are validated (B6) before they are
+    interpolated — this is the injection surface the reference guards.
+    """
+    validate_output_name(source_view)
+    for part in target_table.split("."):
+        validate_output_name(part)
+    for c in keys + columns:
+        validate_output_name(c)
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c not in keys)
+    cols = ", ".join(columns)
+    vals = ", ".join(f"s.{c}" for c in columns)
+    return (
+        f"MERGE INTO {target_table} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
 
 
 def build_nodes(linked_mentions: DataFrame) -> DataFrame:
@@ -72,16 +118,40 @@ def merge_upsert(
     WHEN MATCHED → replace with the update row; WHEN NOT MATCHED → insert.
     Running the same updates twice yields a byte-identical table (the
     reference's MERGE idiom, neo4j_client.py:134-142). On Iceberg this
-    function body becomes one ``MERGE INTO`` statement.
+    function body becomes the one statement :func:`merge_into_sql`
+    generates.
+
+    The final path component is name-validated (B6 guard,
+    ref neo4j_client.py:29-39) so a caller-supplied table name cannot
+    escape the output directory or inject into a SQL sink.
+
+    Only a genuinely-missing table selects the first-write path; any
+    other read failure (corrupt footer, permission error, fs hiccup)
+    re-raises — silently treating it as first-write would overwrite the
+    table with just the updates (data loss).
     """
-    try:
+    validate_output_name(os.path.basename(os.path.normpath(path)))
+    if _table_exists(spark, path):
         existing = spark.read.parquet(path)
         kept = existing.join(updates.select(*keys), keys, "left_anti")
         merged = kept.unionByName(updates)
-    except Exception:  # first write — table does not exist yet
+    else:
         merged = updates
-    # Write via a temp dir then swap is unnecessary in tests; overwrite with
-    # a materialized (checkpointed) plan so we never read-overwrite in place.
-    merged = merged.localCheckpoint()
+    # Materialize off-heap before overwriting so we never read-overwrite
+    # the same path in one plan (and never pin driver heap à la
+    # localCheckpoint).
+    from graphlab_spark.operators.scratch import materialize
+
+    merged = materialize(merged, "merge_upsert")
     merged.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit missing-path check via the JVM Hadoop FS API — distinguishes
+    'table not created yet' from read errors that must propagate."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))

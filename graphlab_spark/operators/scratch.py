@@ -1,0 +1,55 @@
+"""Off-heap stage materialization via scratch parquet.
+
+Why not ``localCheckpoint()``: block-manager checkpoints live on the
+DRIVER heap; over repeated runs they accumulate and cause erratic GC
+stalls (measured in round 1 — see SURVEY.md §8). A parquet round-trip
+through tmpfs is off-heap, predictable, and cheap (~100 ms for
+vocabulary-sized frames), and on a real cluster it maps to scratch
+storage on the distributed FS instead of driver memory.
+
+Every hot path that needs to pin an intermediate result (cut lineage,
+reuse a result twice without recompute) goes through :func:`materialize`
+so the policy lives in one place.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+_counter = [0]
+_root: list[str] = []
+
+
+def scratch_dir() -> str:
+    """Process-scoped scratch root (tmpfs by default, env-overridable),
+    created lazily once and removed at interpreter exit."""
+    if not _root:
+        base = os.environ.get("SPARK_GRAFT_SCRATCH", "/dev/shm")
+        if not os.path.isdir(base):
+            base = tempfile.gettempdir()
+        _root.append(tempfile.mkdtemp(prefix="glpipe-", dir=base))
+    return _root[0]
+
+
+@atexit.register
+def _cleanup() -> None:
+    for d in _root:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
+    """Write ``df`` to scratch parquet and read it back.
+
+    The returned frame has flat parquet-scan lineage: safe to consume
+    multiple times, to feed iterative loops, and to overwrite-from later
+    (never read-and-overwrite the same path in one plan).
+    """
+    _counter[0] += 1
+    path = f"{scratch_dir()}/{name}-{_counter[0]}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -1,12 +1,21 @@
-"""C11 — skew handling: salted two-phase aggregation.
+"""C11 — skew handling: salted two-phase aggregation + salted replicate join.
 
 North_star requirement: "skewed entities (high-frequency URLs/surface
 forms) are handled via salted repartitioning and broadcast of the hot
-alias dictionary". AQE's skew-join splitting covers JOINS; a skewed
-groupBy key needs an explicit salt: phase 1 aggregates (key, salt) —
-spreading one hot key over ``n_salts`` reducers — phase 2 merges the
-partials. Results are identical to a plain groupBy; only the shuffle
-layout changes.
+alias dictionary". AQE's skew-join splitting covers sort-merge JOINS; a
+skewed groupBy key needs an explicit salt: phase 1 aggregates
+(key, salt) — spreading one hot key over ``n_salts`` reducers — phase 2
+merges the partials. Results are identical to a plain groupBy; only the
+shuffle layout changes.
+
+Determinism: the salt is a hash of ROW CONTENT (every column), never of
+``monotonically_increasing_id()``/``rand()`` — a nondeterministic
+expression used as a shuffle key double-counts or drops rows when a map
+task is recomputed under retry/speculation (the exact 1000-executor
+scenario this operator targets). Content-hash salting is retry-safe; its
+limit is that fully-identical rows share a salt, so a hot key consisting
+of byte-identical rows does not spread — real event/mention rows always
+carry a distinguishing column (timestamp, id, span).
 
 Use for algebraic aggregates (count/sum/min/max). For count-distinct
 use the two-level (key, value) → key rewrite instead.
@@ -20,17 +29,20 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
-def salt_col(key: str, n_salts: int = DEFAULT_SALTS) -> Column:
-    """Deterministic salt: xxhash64 of the whole row key-independent part
-    would break merge; use a hash of monotonically varying physical id so
-    a hot key's rows spread uniformly."""
-    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+def salt_col(df: DataFrame, n_salts: int = DEFAULT_SALTS) -> Column:
+    """Deterministic per-row salt: xxhash64 over every column of ``df``.
+
+    Stable under task retry/speculation (pure function of row content);
+    spreads a hot key across ``n_salts`` reducers as long as its rows are
+    not byte-identical.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
 
 
 def salted_count(df: DataFrame, key: str, n_salts: int = DEFAULT_SALTS) -> DataFrame:
     """groupBy(key).count() resistant to hot keys: two-phase with salt."""
     partial = (
-        df.withColumn("_salt", salt_col(key, n_salts))
+        df.withColumn("_salt", salt_col(df, n_salts))
         .groupBy(key, "_salt")
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
@@ -39,8 +51,34 @@ def salted_count(df: DataFrame, key: str, n_salts: int = DEFAULT_SALTS) -> DataF
 
 def salted_sum(df: DataFrame, key: str, value: str, n_salts: int = DEFAULT_SALTS) -> DataFrame:
     partial = (
-        df.withColumn("_salt", salt_col(key, n_salts))
+        df.withColumn("_salt", salt_col(df, n_salts))
         .groupBy(key, "_salt")
         .agg(F.sum(value).alias("_partial"))
     )
     return partial.groupBy(key).agg(F.sum("_partial").alias(f"sum_{value}"))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = DEFAULT_SALTS,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicated skew join: big side salted by row content, small side
+    replicated ``n_salts``× — a hot join key spreads over ``n_salts``
+    reducers instead of landing on one straggler task.
+
+    Identical result to ``big.join(small, key, how)``. Use when the big
+    side's key distribution is Zipf and the small side is too large to
+    broadcast outright (otherwise prefer broadcast / AQE skew-join).
+    Supported ``how``: inner / left (semantics of replication are only
+    defined when ``small`` is unique per key, as for any dimension join).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got: {how}")
+    b = big.withColumn("_salt", salt_col(big, n_salts))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    return b.join(s, [key, "_salt"], how).drop("_salt")

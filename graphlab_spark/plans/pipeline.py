@@ -1,6 +1,6 @@
 """End-to-end KG-construction pipeline (the flagship flow).
 
-pages → dedup+extract (C2/C13) → mentions (C3) → triples (C4) →
+pages → dedup + fused parse (C2/C13/C3/C4 in one Arrow pass) →
 link surfaces (C5-C7) → canonicalize entities (C8-C9) →
 nodes/edges materialize (C10), with per-partition lineage + resume (C12).
 
@@ -9,13 +9,27 @@ paper_process → entity_extract → vector_embed → kg_upsert``
 (``backend/app/models/processing_job.py:17``; ``backend/README.md:95-108``)
 re-expressed as Spark stages over a Common-Crawl-style corpus.
 
+Scale design:
+- Per-document work (parse) is the 100 TB cost centre → fused into ONE
+  vectorized pandas pass (operators/parse.py), embarrassingly parallel.
+- Vocabulary-level work (linking, canonicalization) is size-ADAPTIVE:
+  distinct surfaces are Zipf-bounded (~10^8 at 10^12 docs); when the
+  vocabulary fits on the driver it is computed there in one job
+  (eliminating ~10 fixed-cost shuffle jobs — the serial tail that caps
+  scaling efficiency), and above the threshold the fully distributed
+  path runs — byte-identical output, pinned by tests.
+- No explicit broadcast of vocabulary-DERIVED frames (links, entity_map):
+  AQE broadcasts only while they actually fit and splits skewed hot
+  surfaces otherwise. Broadcast is reserved for the alias dictionary
+  (north_star C11), which is guarded by a hard row-count ceiling.
+
 Resume contract: every url-keyed stage writes output parquet partitioned
 by a STABLE hash bucket of the url (not the physical partition id — so a
 run can resume at a different executor count) under dynamic partition
-overwrite, then appends `completed` manifest rows per bucket. A rerun
-anti-joins completed buckets away and recomputes only the remainder;
-reruns of a finished pipeline touch nothing and reproduce identical
-output.
+overwrite, then appends `completed` manifest rows per bucket keyed by an
+input fingerprint. A rerun anti-joins completed buckets away and
+recomputes only the remainder; reruns of a finished pipeline touch
+nothing and reproduce identical output.
 """
 
 from __future__ import annotations
@@ -31,10 +45,26 @@ from graphlab_spark.operators import linking as _linking
 from graphlab_spark.operators import materialize as _mat
 from graphlab_spark.operators.extract import extract_stage
 from graphlab_spark.operators.manifest import Manifest, bucket_of
-from graphlab_spark.operators.mentions import build_alias_map, mentions_stage
+from graphlab_spark.operators.mentions import _norm_key, build_alias_map, mentions_stage
+from graphlab_spark.operators.parse import mentions_view, parse_stage, triples_view
+from graphlab_spark.operators.scratch import materialize as _pin
 from graphlab_spark.operators.triples import triples_stage
-from graphlab_spark.functions.slug import slugify_udf
+from graphlab_spark.functions.slug import slugify, slugify_udf
 from graphlab_spark.operators.linking import norm_key_udf
+
+LINKS_SCHEMA = (
+    "surface string, canonical_id string, entity_type string, score double, method string"
+)
+
+
+def _vocab_driver_max() -> int:
+    """Vocabulary size up to which link+canonicalize run on the driver.
+
+    Adaptive switch (same philosophy as connected_components' union-find
+    threshold): below it, one collect replaces ~10 vocabulary-scale
+    shuffle jobs; above it, the distributed path runs. Output identical.
+    """
+    return int(os.environ.get("SPARK_GRAFT_VOCAB_DRIVER_MAX", "200000"))
 
 
 def _readable(spark: SparkSession, path: str) -> bool:
@@ -56,27 +86,60 @@ def run_stage(
     key_col: str,
     compute_fn: Callable[[DataFrame], DataFrame],
     out_path: str,
+    fp_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Resumable url-keyed stage: compute only pending buckets, overwrite
-    exactly those bucket partitions, mark them completed."""
+    """Resumable url-keyed stage: compute only pending buckets whose input
+    fingerprint matches the manifest, overwrite exactly those bucket
+    partitions, mark them completed with their fingerprint.
+
+    ``fp_cols``: columns hashed into the per-bucket input fingerprint
+    (default: the key column). An order-independent multiset hash —
+    per-row xxhash64 summed in decimal (no overflow under ANSI), reduced
+    mod 2^61-1 — so the fingerprint is stable across partitioning and
+    row order but changes when any fingerprinted value changes.
+    """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    fp_cols = fp_cols or [key_col]
+    keyed = input_df.withColumn("partition_id", bucket_of(key_col))
+    in_stats = _pin(
+        keyed.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in fp_cols]).cast("decimal(38,0)")
+            ).alias("_fp"),
+        )
+        .select(
+            "partition_id",
+            "rows_in",
+            F.pmod(F.col("_fp"), F.lit((1 << 61) - 1)).cast("long").alias("input_fp"),
+        ),
+        f"instats_{stage}",
+    )
     if _readable(spark, out_path):
         done = manifest.completed_partitions(run_id, stage)
+        valid_done = in_stats.join(done, ["partition_id", "input_fp"], "left_semi").select(
+            "partition_id"
+        )
     else:
         # output vanished (external deletion / partial commit) → recompute all
-        done = spark.createDataFrame([], "partition_id int")
-    keyed = input_df.withColumn("partition_id", bucket_of(key_col))
-    pending = keyed.join(F.broadcast(done), "partition_id", "left_anti")
+        valid_done = spark.createDataFrame([], "partition_id int")
+    pending = keyed.join(F.broadcast(valid_done), "partition_id", "left_anti")
     if pending.isEmpty():
         return spark.read.parquet(out_path).drop("partition_id")
 
-    in_stats = pending.groupBy("partition_id").agg(F.count(F.lit(1)).alias("rows_in"))
     out_df = compute_fn(pending.drop("partition_id"))
-    out_keyed = out_df.withColumn("partition_id", bucket_of(key_col)).localCheckpoint()
+    out_keyed = _pin(
+        out_df.withColumn("partition_id", bucket_of(key_col)), f"out_{stage}"
+    )
     out_keyed.write.partitionBy("partition_id").mode("overwrite").parquet(out_path)
 
     out_stats = out_keyed.groupBy("partition_id").agg(F.count(F.lit(1)).alias("rows_out"))
-    stats = in_stats.join(out_stats, "partition_id", "left").fillna(0, ["rows_out"])
+    stats = (
+        in_stats.join(valid_done, "partition_id", "left_anti")
+        .join(out_stats, "partition_id", "left")
+        .fillna(0, ["rows_out"])
+    )
     manifest.record_completed(run_id, stage, stats)
     return spark.read.parquet(out_path).drop("partition_id")
 
@@ -89,15 +152,17 @@ def run_global_stage(
     compute_fn: Callable[[], DataFrame],
     out_path: str,
 ) -> DataFrame:
-    """Resumable vocabulary-level stage (single logical partition)."""
+    """Resumable vocabulary-level stage (single logical partition). The
+    input fingerprint is inherited transitively: a global stage only runs
+    after its upstream url-keyed stages validated theirs."""
     done = manifest.completed_partitions(run_id, stage)
     if done.count() > 0 and _readable(spark, out_path):
         return spark.read.parquet(out_path)
-    out_df = compute_fn().localCheckpoint()
+    out_df = _pin(compute_fn(), f"global_{stage}")
     out_df.write.mode("overwrite").parquet(out_path)
     n = out_df.count()
     stats = spark.createDataFrame(
-        [(0, n, n)], "partition_id int, rows_in long, rows_out long"
+        [(0, n, 0, n)], "partition_id int, rows_in long, input_fp long, rows_out long"
     )
     manifest.record_completed(run_id, stage, stats)
     return spark.read.parquet(out_path)
@@ -108,70 +173,87 @@ def _new_entity_id(col):
     return F.concat(F.lit("unk:"), slugify_udf(norm_key_udf(col)))
 
 
-def run_pipeline_in_memory(
+def _new_entity_id_py(surface: str) -> str:
+    """Driver-side twin of :func:`_new_entity_id` (same norm+slug chain)."""
+    return "unk:" + slugify(_norm_key(surface))
+
+
+def vocab_entity_map_small(
     spark: SparkSession,
-    pages: DataFrame,
-    aliases: DataFrame,
-    link_threshold: float = _linking.DEFAULT_THRESHOLD,
-    jaccard_dist: float = _canon.DEFAULT_JACCARD_DIST,
-    stage_timings: dict[str, float] | None = None,
-) -> dict[str, DataFrame]:
-    """Manifest-free pipeline for query/benchmark use: same stages as
-    :func:`run_pipeline`, without the lineage manifest. Stage results are
-    materialized as parquet under a scratch dir (tmpfs by default) rather
-    than ``localCheckpoint`` — block-manager checkpoints accumulate on the
-    driver heap and cause erratic GC stalls over repeated runs, while a
-    parquet round-trip is off-heap and predictable. Pass
-    ``stage_timings={}`` to record per-stage wall-clock seconds (each
-    stage is forced by its materialization, so the split is meaningful)."""
-    import tempfile
-    import time as _time
+    surfaces: list[str],
+    alias_rows: list[dict],
+    link_threshold: float,
+    jaccard_dist: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Driver fast path for the vocabulary stages (C5-C9): link every
+    distinct surface, derive the entity set, canonicalize, and return
+    (links, entity_map) as local-relation DataFrames.
 
-    scratch = tempfile.mkdtemp(prefix="glpipe-", dir=os.environ.get(
-        "SPARK_GRAFT_SCRATCH", "/dev/shm"))
+    Replicates the distributed path exactly (same kernels, same rules —
+    equality pinned by tests):
+    - links: top-1 cosine per surface over blocked alias candidates;
+    - entity id: linked canonical_id, else ``unk:`` + slug(norm_key);
+    - known entities (primary aliases) are canonical as-is; unknowns merge
+      into the lexically smallest known entity of their similarity
+      component, else the component minimum.
+    """
+    surfaces = sorted(s for s in set(surfaces) if s is not None)
+    link_rows = _linking.link_surfaces_small(surfaces, alias_rows, link_threshold)
+    link_map = {r["surface"]: r["canonical_id"] for r in link_rows}
 
-    def _save(df: DataFrame, name: str) -> DataFrame:
-        path = f"{scratch}/{name}"
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+    surf_entity = {
+        s: link_map.get(s) or _new_entity_id_py(s) for s in surfaces
+    }
+    known_ents: list[tuple[str, str, bool]] = []
+    seen: set[str] = set()
+    for r in alias_rows:
+        if r["is_primary"] and r["canonical_id"] not in seen:
+            seen.add(r["canonical_id"])
+            known_ents.append((r["canonical_id"], _norm_key(r["alias"]), True))
+    unk_by_id: dict[str, str] = {}
+    for s, eid in surf_entity.items():
+        if eid.startswith("unk:"):
+            k = _norm_key(s)
+            if eid not in unk_by_id or k < unk_by_id[eid]:
+                unk_by_id[eid] = k
+    entities = known_ents + [(eid, k, False) for eid, k in sorted(unk_by_id.items())]
+    mapping = _canon.canonicalize_small(entities, jaccard_dist)
 
-    _t = [_time.time()]
-
-    def _mark(name: str) -> None:
-        if stage_timings is not None:
-            now = _time.time()
-            stage_timings[name] = round(now - _t[0], 3)
-            _t[0] = now
-
-    alias_map = build_alias_map(r.asDict() for r in aliases.collect())
-    # html is dead weight once text is extracted — keep the materialization slim
-    docs = _save(extract_stage(pages).select("url", "warc_ts", "lang", "text"), "docs")
-    _mark("extract")
-    mentions = _save(mentions_stage(spark, docs.select("url", "text"), alias_map), "mentions")
-    _mark("mentions")
-    triples = _save(triples_stage(docs.select("url", "text", "lang")), "triples")
-    _mark("triples")
-
-    # distinct surfaces: checkpointed — every vocabulary stage below
-    # consumes it, and re-deriving it re-scans the full mention stream.
-    surfaces = _save(
-        mentions.select("surface")
-        .unionByName(triples.select(F.col("subj").alias("surface")))
-        .unionByName(triples.select(F.col("obj").alias("surface")))
-        .distinct()
-        .coalesce(4),  # vocabulary-sized: stop scheduling 32 tasks per op
-        "surfaces",
+    em_rows = [
+        (s, mapping[eid]) for s, eid in sorted(surf_entity.items()) if eid in mapping
+    ]
+    links_df = spark.createDataFrame(
+        [
+            (r["surface"], r["canonical_id"], r["entity_type"], r["score"], r["method"])
+            for r in link_rows
+        ],
+        LINKS_SCHEMA,
     )
-    _mark("surfaces")
-    links = _save(_linking.link_surfaces(spark, surfaces, aliases, link_threshold), "links")
-    _mark("links")
+    entity_map_df = spark.createDataFrame(em_rows, "surface string, entity_id string")
+    return links_df, entity_map_df
 
+
+def _entity_map_distributed(
+    spark: SparkSession,
+    surfaces: DataFrame,
+    links: DataFrame,
+    aliases: DataFrame,
+    jaccard_dist: float,
+) -> DataFrame:
+    """Distributed vocabulary canonicalization (the 100 TB path).
+
+    'unk:' sorts after every known type prefix, so component-min picks
+    the known entity as the canonical survivor. No explicit broadcasts:
+    links/entity frames are vocabulary-sized — AQE decides.
+    """
     surf_entity = surfaces.join(
-        F.broadcast(links.select("surface", "canonical_id")), "surface", "left"
+        links.select("surface", "canonical_id"), "surface", "left"
     ).select(
         "surface",
         F.coalesce(F.col("canonical_id"), _new_entity_id(F.col("surface"))).alias("entity_id"),
     )
+    # Known entities are represented by their primary alias (the alias
+    # dict is authoritative); unknown entities by their observed surface.
     known_ents = (
         aliases.filter(F.col("is_primary"))
         .select(
@@ -191,25 +273,93 @@ def run_pipeline_in_memory(
         .dropDuplicates(["entity_id"])
     )
     mapping = _canon.canonicalize_stage(spark, known_ents.unionByName(unk_ents), jaccard_dist)
-    entity_map = _save(
-        surf_entity.join(mapping, "entity_id")
-        .select("surface", F.col("canonical_id").alias("entity_id")),
-        "entity_map",
+    return surf_entity.join(mapping, "entity_id").select(
+        "surface", F.col("canonical_id").alias("entity_id")
     )
-    _mark("canonicalize+entity_map")
 
-    linked_mentions = mentions.join(F.broadcast(entity_map), "surface").select(
+
+def _build_outputs(
+    mentions: DataFrame, triples: DataFrame, entity_map: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """nodes/edges from canonical entity_map. entity_map is vocabulary-sized
+    (or a local relation on the driver fast path) — join strategy left to
+    AQE/Catalyst, never a forced broadcast."""
+    linked_mentions = mentions.join(entity_map, "surface").select(
         F.col("entity_id").alias("canonical_id"), "surface", "m_type"
     )
     nodes = _mat.build_nodes(linked_mentions)
-    em = F.broadcast(entity_map)
     t = (
-        triples.join(em.withColumnRenamed("surface", "subj"), "subj")
+        triples.join(entity_map.withColumnRenamed("surface", "subj"), "subj")
         .withColumnRenamed("entity_id", "subj_id")
-        .join(em.withColumnRenamed("surface", "obj"), "obj")
+        .join(entity_map.withColumnRenamed("surface", "obj"), "obj")
         .withColumnRenamed("entity_id", "obj_id")
     )
     edges = _mat.build_edges(t.select("subj_id", "pred", "obj_id", "url", "conf"))
+    return nodes, edges
+
+
+def run_pipeline_in_memory(
+    spark: SparkSession,
+    pages: DataFrame,
+    aliases: DataFrame,
+    link_threshold: float = _linking.DEFAULT_THRESHOLD,
+    jaccard_dist: float = _canon.DEFAULT_JACCARD_DIST,
+    stage_timings: dict[str, float] | None = None,
+    vocab_driver_max: int | None = None,
+) -> dict[str, DataFrame]:
+    """Manifest-free pipeline for query/benchmark use: same semantics as
+    :func:`run_pipeline`, without the lineage manifest. Stage results are
+    materialized as parquet under a scratch dir (tmpfs by default) rather
+    than ``localCheckpoint`` — block-manager checkpoints accumulate on the
+    driver heap and cause erratic GC stalls over repeated runs, while a
+    parquet round-trip is off-heap and predictable. Pass
+    ``stage_timings={}`` to record per-stage wall-clock seconds."""
+    import time as _time
+
+    vmax = _vocab_driver_max() if vocab_driver_max is None else vocab_driver_max
+    _t = [_time.time()]
+
+    def _mark(name: str) -> None:
+        if stage_timings is not None:
+            now = _time.time()
+            stage_timings[name] = round(now - _t[0], 3)
+            _t[0] = now
+
+    alias_rows = _linking.collect_alias_rows(aliases)
+    alias_map = build_alias_map(alias_rows)
+
+    # ---- per-document stage: ONE fused Arrow pass, saved once (slim —
+    # html is dead weight after extraction)
+    parsed = _pin(parse_stage(spark, pages, alias_map), "parsed")
+    docs = parsed.select("url", "warc_ts", "lang", "text")
+    mentions = mentions_view(parsed)
+    triples = triples_view(parsed)
+    _mark("parse")
+
+    # ---- vocabulary stages: size-adaptive
+    surfaces_plan = (
+        mentions.select("surface")
+        .unionByName(triples.select(F.col("subj").alias("surface")))
+        .unionByName(triples.select(F.col("obj").alias("surface")))
+        .distinct()
+    )
+    head = surfaces_plan.limit(vmax + 1).collect()
+    if len(head) <= vmax:
+        links, entity_map = vocab_entity_map_small(
+            spark, [r["surface"] for r in head], alias_rows, link_threshold, jaccard_dist
+        )
+    else:
+        surfaces = _pin(surfaces_plan, "surfaces")
+        links = _pin(
+            _linking.link_surfaces(spark, surfaces, aliases, link_threshold), "links"
+        )
+        entity_map = _pin(
+            _entity_map_distributed(spark, surfaces, links, aliases, jaccard_dist),
+            "entity_map",
+        )
+    _mark("link+canonicalize")
+
+    nodes, edges = _build_outputs(mentions, triples, entity_map)
     return {
         "docs": docs,
         "mentions": mentions,
@@ -230,38 +380,45 @@ def run_pipeline(
     link_threshold: float = _linking.DEFAULT_THRESHOLD,
     jaccard_dist: float = _canon.DEFAULT_JACCARD_DIST,
 ) -> dict[str, DataFrame]:
-    """Full pipeline. Returns the materialized DataFrames per stage."""
+    """Full pipeline with per-bucket lineage + resume. Returns the
+    materialized DataFrames per stage. Stages stay SEPARATE here (unlike
+    the fused in-memory flavor) because each is a resume point with its
+    own manifest rows — the C12 contract."""
     manifest = Manifest(spark, f"{out_dir}/manifest")
-    alias_map = build_alias_map(r.asDict() for r in aliases.collect())
+    alias_rows = _linking.collect_alias_rows(aliases)
+    alias_map = build_alias_map(alias_rows)
 
     docs = run_stage(
         spark, manifest, run_id, "extract", pages, "url",
         # html is dead weight once text is extracted — persist slim
         lambda d: extract_stage(d).select("url", "warc_ts", "lang", "text"),
         f"{out_dir}/docs",
+        fp_cols=["url", "warc_ts"],  # recrawl of a url ⇒ new fingerprint
     )
     mentions = run_stage(
         spark, manifest, run_id, "mentions", docs.select("url", "text"), "url",
         lambda d: mentions_stage(spark, d, alias_map), f"{out_dir}/mentions",
+        fp_cols=["url", "text"],
     )
     triples = run_stage(
         spark, manifest, run_id, "triples", docs.select("url", "text", "lang"), "url",
         triples_stage, f"{out_dir}/triples",
+        fp_cols=["url", "text"],
     )
 
     # --- vocabulary-level: link every distinct surface seen anywhere.
-    # Checkpointed once, lazily — several stages consume it, but a fully
+    # Pinned once, lazily — several stages consume it, but a fully
     # resumed run must not pay for it at all.
     _surf: dict[str, DataFrame] = {}
 
     def all_surfaces() -> DataFrame:
         if "df" not in _surf:
-            _surf["df"] = (
+            _surf["df"] = _pin(
                 mentions.select("surface")
                 .unionByName(triples.select(F.col("subj").alias("surface")))
                 .unionByName(triples.select(F.col("obj").alias("surface")))
-                .distinct()
-                .localCheckpoint()
+                .distinct(),
+                "surfaces",
             )
         return _surf["df"]
 
@@ -270,42 +427,8 @@ def run_pipeline(
 
     links = run_global_stage(spark, manifest, run_id, "linking", _links, f"{out_dir}/links")
 
-    # --- entity set = linked canonical ids + new (unlinked) surfaces.
-    # 'unk:' sorts after every known type prefix, so component-min picks
-    # the known entity as the canonical survivor.
     def _entity_map() -> DataFrame:
-        surf_entity = all_surfaces().join(
-            F.broadcast(links.select("surface", "canonical_id")), "surface", "left"
-        ).select(
-            "surface",
-            F.coalesce(F.col("canonical_id"), _new_entity_id(F.col("surface"))).alias("entity_id"),
-        )
-        # Known entities are represented by their primary alias (the alias
-        # dict is authoritative); unknown entities by their observed surface.
-        known_ents = (
-            aliases.filter(F.col("is_primary"))
-            .select(
-                F.col("canonical_id").alias("entity_id"),
-                norm_key_udf(F.col("alias")).alias("surface"),
-                F.lit(True).alias("is_known"),
-            )
-            .dropDuplicates(["entity_id"])
-        )
-        unk_ents = (
-            surf_entity.filter(F.col("entity_id").startswith("unk:"))
-            .select(
-                "entity_id",
-                norm_key_udf(F.col("surface")).alias("surface"),
-                F.lit(False).alias("is_known"),
-            )
-            .dropDuplicates(["entity_id"])
-        )
-        mapping = _canon.canonicalize_stage(
-            spark, known_ents.unionByName(unk_ents), jaccard_dist
-        )
-        return surf_entity.join(mapping, "entity_id").select(
-            "surface", F.col("canonical_id").alias("entity_id")
-        )
+        return _entity_map_distributed(spark, all_surfaces(), links, aliases, jaccard_dist)
 
     entity_map = run_global_stage(
         spark, manifest, run_id, "canonicalize", _entity_map, f"{out_dir}/entity_map"
@@ -313,20 +436,10 @@ def run_pipeline(
 
     # --- materialize nodes/edges with canonical ids
     def _nodes() -> DataFrame:
-        linked_mentions = mentions.join(F.broadcast(entity_map), "surface").select(
-            F.col("entity_id").alias("canonical_id"), "surface", "m_type"
-        )
-        return _mat.build_nodes(linked_mentions)
+        return _build_outputs(mentions, triples, entity_map)[0]
 
     def _edges() -> DataFrame:
-        em = F.broadcast(entity_map)
-        t = (
-            triples.join(em.withColumnRenamed("surface", "subj"), "subj")
-            .withColumnRenamed("entity_id", "subj_id")
-            .join(em.withColumnRenamed("surface", "obj"), "obj")
-            .withColumnRenamed("entity_id", "obj_id")
-        )
-        return _mat.build_edges(t.select("subj_id", "pred", "obj_id", "url", "conf"))
+        return _build_outputs(mentions, triples, entity_map)[1]
 
     nodes = run_global_stage(spark, manifest, run_id, "nodes", _nodes, f"{out_dir}/nodes")
     edges = run_global_stage(spark, manifest, run_id, "edges", _edges, f"{out_dir}/edges")

@@ -264,6 +264,45 @@ def a16(spark, sf):
 
 
 @q(
+    "a17_single_upsert",
+    "WITH existing AS (SELECT user_id AS id, max(value) AS weight, 'orig' AS source "
+    "FROM events GROUP BY user_id), "
+    "incoming AS ("
+    " SELECT DISTINCT user_id AS id, CAST(NULL AS DOUBLE) AS weight, 'upd' AS source "
+    " FROM events WHERE user_id % 3 = 0 "
+    " UNION ALL "
+    " SELECT DISTINCT user_id + 1000000 AS id, 0.5 AS weight, 'new' AS source "
+    " FROM events WHERE user_id % 7 = 0) "
+    "SELECT COALESCE(e.id, i.id) AS id, ROUND(COALESCE(i.weight, e.weight), 2) AS weight, "
+    "COALESCE(i.source, e.source) AS source "
+    "FROM existing e FULL OUTER JOIN incoming i ON e.id = i.id",
+    "A17 single upsert: overwrite ONLY non-None incoming fields, insert "
+    "when absent (research_keyword.py:47-61,118-126)",
+)
+def a17(spark, sf):
+    from graphlab_spark.operators.keywords import upsert_keywords_non_null
+
+    ev = _t(spark, sf, "events")
+    existing = ev.groupBy(F.col("user_id").alias("id")).agg(
+        F.max("value").alias("weight")
+    ).withColumn("source", F.lit("orig"))
+    upd = (
+        ev.filter(F.col("user_id") % 3 == 0)
+        .select(F.col("user_id").alias("id")).distinct()
+        .withColumn("weight", F.lit(None).cast("double"))
+        .withColumn("source", F.lit("upd"))
+    )
+    new = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .select((F.col("user_id") + 1_000_000).alias("id")).distinct()
+        .withColumn("weight", F.lit(0.5))
+        .withColumn("source", F.lit("new"))
+    )
+    out = upsert_keywords_non_null(existing, upd.unionByName(new), key=["id"])
+    return out.select("id", F.round("weight", 2).alias("weight"), "source")
+
+
+@q(
     "a18_bulk_merge_semantics",
     "SELECT user_id, ROUND(max(value), 2) AS weight, "
     "string_agg(event_type, '; ' ORDER BY ts, event_id) AS rationale, "

@@ -266,6 +266,34 @@ def c11(spark, sf):
     return salted_count(_t(spark, sf, "events"), "user_id")
 
 
+@q(
+    "c11_salted_join",
+    "SELECT segment, CAST(count(*) AS BIGINT) AS n FROM events e JOIN "
+    "(SELECT DISTINCT user_id, 'seg' || CAST(user_id % 5 AS VARCHAR) AS segment "
+    "FROM events WHERE user_id % 2 = 0) d ON e.user_id = d.user_id GROUP BY segment",
+    "C11 replicated skew join — identical result to a plain join; the hot "
+    "key spreads over 16 salt reducers instead of one straggler",
+)
+def c11_join(spark, sf):
+    from graphlab_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf, "events")
+    dim = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "segment",
+            F.concat(F.lit("seg"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")),
+        )
+    )
+    return (
+        salted_join(ev.select("user_id"), dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ----------------------------------------------------------- KG-stage gates
 
 @q(
@@ -310,3 +338,35 @@ def kg_c10(spark, sf):
     aliases = corpus.alias_df(spark)
     res = run_pipeline_in_memory(spark, pages, aliases)
     return res["edges"].select("src", "pred", "dst").distinct()
+
+
+@q(
+    "kg_c14_doc_relevance",
+    f"SELECT url, relevance FROM '{REPO_FIXTURES}/golden_relevance.parquet'",
+    "C14 keyword-weight ranking: per-doc relevance = sum of matched alias "
+    "weights (ref backend/README.md:37,96 — weights 0..1 'seed crawls and "
+    "ranking'); live computation vs frozen golden",
+)
+def kg_c14(spark, sf):
+    from graphlab_spark.operators.extract import extract_stage
+    from graphlab_spark.operators.linking import norm_key_udf
+    from graphlab_spark.operators.mentions import build_alias_map, mentions_stage
+    from graphlab_spark.sources import corpus
+
+    pages = corpus.generate_pages(spark, 300)
+    aliases = corpus.alias_df(spark)
+    alias_map = build_alias_map(r.asDict() for r in aliases.collect())
+    docs = extract_stage(pages)
+    mentions = mentions_stage(spark, docs.select("url", "text"), alias_map)
+    weights = (
+        aliases.select(norm_key_udf(F.col("alias")).alias("skey"), "weight")
+        .groupBy("skey")
+        .agg(F.max("weight").alias("weight"))
+    )
+    return (
+        mentions.filter(F.col("m_type") != "UNK")  # alias-dict hits carry weights
+        .withColumn("skey", norm_key_udf(F.col("surface")))
+        .join(weights, "skey")
+        .groupBy("url")
+        .agg(F.round(F.sum("weight"), 4).alias("relevance"))
+    )

@@ -46,6 +46,38 @@ def test_lsh_results_subset_of_corpus_and_ranked(spark, embs):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_lsh_recall_floor_by_similarity_level(spark):
+    """Stated recall floors of the s02 scale path (VERDICT r1 item 7):
+    sign-random-projection LSH with 8 tables x 12 planes must find a
+    planted neighbor at cos≈0.99 with recall ≥ 0.95, at cos≈0.95 ≥ 0.80,
+    at cos≈0.86 ≥ 0.55 (theory: 1-(1-(1-θ/π)^12)^8; deterministic
+    hyperplanes + deterministic fixture → a fixed, reproducible number)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((60, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, v.tolist(), "base") for i, v in enumerate(base)]
+    levels = {1000: (0.12, 0.95), 2000: (0.33, 0.80), 3000: (0.60, 0.55)}
+    for off, (eps, _) in levels.items():
+        for i, v in enumerate(base):
+            u = np.random.RandomState(1000 + i + off).standard_normal(64)
+            u -= u.dot(v) * v
+            u /= np.linalg.norm(u)
+            w = v + eps * u
+            w /= np.linalg.norm(w)
+            rows.append((off + i, w.tolist(), f"pert{off}"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]))
+    qids = list(range(60))
+    found = {}
+    for r in ANN.lsh_topk(df, qids, k=60).collect():
+        found.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for off, (_, floor) in levels.items():
+        recall = sum(1 for q in qids if off + q in found.get(q, set())) / 60
+        assert recall >= floor, (off, recall, floor)
+
+
 def test_lsh_finds_planted_strong_neighbors(spark, embs):
     """Sign-random-projection LSH finds STRONG neighbors (cos≈1) with
     near-certain probability — that's its contract; weak neighbors in

@@ -38,6 +38,14 @@ def test_minhash_equals_exact_jaccard_on_planted(spark, planted):
     # verification makes LSH ⊆ exact; 16x4 bands give ~full recall at J≥0.8
     assert lsh.issubset(exact)
     assert len(lsh) >= 0.98 * len(exact)
+    # recall-side oracle (VERDICT r1 item 7): EVERY exact pair at J≥0.9
+    # must appear in the LSH output — p(miss | J=0.9) ≈ 3e-8 per pair,
+    # so on this fixture the gate is deterministic-in-practice
+    exact_hi = {
+        (r.a, r.b) for r in DD.jaccard_pairs_exact(planted, threshold=0.9).collect()
+    }
+    assert exact_hi, "fixture must plant J≥0.9 pairs"
+    assert exact_hi.issubset(lsh)
     # every planted (original, copy) pair found
     planted_pairs = {
         (r.doc_id, r.doc_id + 10_000_000)

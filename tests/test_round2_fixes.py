@@ -1,0 +1,192 @@
+"""Round-2 fixes: fused parse equality, adaptive vocabulary path equality,
+deterministic salted join, merge/name guards, manifest input fingerprints."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphlab_spark.operators.extract import extract_stage
+from graphlab_spark.operators.manifest import Manifest
+from graphlab_spark.operators.materialize import (
+    merge_into_sql,
+    merge_upsert,
+    validate_output_name,
+)
+from graphlab_spark.operators.mentions import build_alias_map, mentions_stage
+from graphlab_spark.operators.parse import mentions_view, parse_stage, triples_view
+from graphlab_spark.operators.skew import salt_col, salted_join
+from graphlab_spark.operators.triples import triples_stage
+from graphlab_spark.plans.pipeline import run_pipeline_in_memory, run_stage
+from graphlab_spark.sources import corpus
+
+N = 200
+
+
+# ------------------------------------------------ fused parse == unfused
+
+def test_fused_parse_equals_unfused_stages(spark):
+    pages = corpus.generate_pages(spark, N)
+    aliases = corpus.alias_df(spark)
+    alias_map = build_alias_map(r.asDict() for r in aliases.collect())
+
+    parsed = parse_stage(spark, pages, alias_map).localCheckpoint()
+    docs = extract_stage(pages).select("url", "warc_ts", "lang", "text").localCheckpoint()
+
+    fused_docs = {tuple(r) for r in parsed.select("url", "text").collect()}
+    unfused_docs = {tuple(r) for r in docs.select("url", "text").collect()}
+    assert fused_docs == unfused_docs
+
+    fused_m = {tuple(r) for r in mentions_view(parsed).collect()}
+    unfused_m = {
+        tuple(r) for r in mentions_stage(spark, docs.select("url", "text"), alias_map).collect()
+    }
+    assert fused_m == unfused_m
+
+    fused_t = {tuple(r) for r in triples_view(parsed).collect()}
+    unfused_t = {tuple(r) for r in triples_stage(docs).collect()}
+    assert fused_t == unfused_t
+
+
+# --------------------------------- vocab driver path == distributed path
+
+def test_vocab_driver_path_equals_distributed(spark):
+    pages = corpus.generate_pages(spark, N)
+    aliases = corpus.alias_df(spark)
+    small = run_pipeline_in_memory(spark, pages, aliases, vocab_driver_max=10**6)
+    big = run_pipeline_in_memory(spark, pages, aliases, vocab_driver_max=0)
+
+    for key in ["links", "entity_map"]:
+        a = {tuple(r) for r in small[key].collect()}
+        b = {tuple(r) for r in big[key].collect()}
+        assert a == b, f"{key}: driver path diverges from distributed path"
+    ea = {tuple(r) for r in small["edges"].select("src", "pred", "dst", "weight").collect()}
+    eb = {tuple(r) for r in big["edges"].select("src", "pred", "dst", "weight").collect()}
+    assert ea == eb
+
+
+# ---------------------------------------------------- salted join / salt
+
+def test_salted_join_equals_plain_join(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("segment", F.concat(F.lit("seg"), F.pmod(F.col("user_id"), F.lit(5))))
+    )
+    plain = (
+        ev.join(dim, "user_id").groupBy("segment").agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(ev, dim, "user_id").groupBy("segment").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salt_is_deterministic_across_evaluations(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    salted = ev.withColumn("_salt", salt_col(ev))
+    a = salted.groupBy("_salt").count().orderBy("_salt").collect()
+    b = salted.groupBy("_salt").count().orderBy("_salt").collect()
+    assert a == b
+    # and it actually spreads a hot key over several salts
+    hot = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    n_salts = (
+        salted.filter(F.col("user_id") == hot.user_id).select("_salt").distinct().count()
+    )
+    assert n_salts > 1
+
+
+# ----------------------------------------------- B6 guard + MERGE seam
+
+def test_validate_output_name_guard():
+    assert validate_output_name("nodes_v2") == "nodes_v2"
+    for bad in ["../etc", "a.b", "1abc", "", "x;drop table", "a b", None]:
+        with pytest.raises((ValueError, TypeError)):
+            validate_output_name(bad)
+
+
+def test_merge_into_sql_text_and_injection_guard():
+    sql = merge_into_sql("kg.nodes", "updates", ["id"], ["id", "name", "n"])
+    assert sql == (
+        "MERGE INTO kg.nodes t USING updates s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.name = s.name, t.n = s.n "
+        "WHEN NOT MATCHED THEN INSERT (id, name, n) VALUES (s.id, s.name, s.n)"
+    )
+    with pytest.raises(ValueError):
+        merge_into_sql("kg.nodes; DROP TABLE x", "updates", ["id"], ["id"])
+    with pytest.raises(ValueError):
+        merge_into_sql("kg.nodes", "updates", ["id"], ["id", "name--"])
+
+
+def test_merge_upsert_rejects_invalid_table_name(spark, tmp_path):
+    df = spark.range(3).select(F.col("id"), F.lit("x").alias("v"))
+    with pytest.raises(ValueError):
+        merge_upsert(spark, str(tmp_path / "bad name!"), df, ["id"])
+
+
+def test_merge_upsert_raises_on_corrupt_table_instead_of_overwriting(spark, tmp_path):
+    """A transient/corrupt read must NOT be treated as first-write (which
+    would silently replace the table with only the updates)."""
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    with open(f"{path}/part-00000.parquet", "wb") as f:
+        f.write(b"this is not parquet")
+    updates = spark.range(3).select(F.col("id"), F.lit("u").alias("v"))
+    with pytest.raises(Exception):
+        merge_upsert(spark, path, updates, ["id"])
+    # the corrupt table was left in place, not overwritten
+    with open(f"{path}/part-00000.parquet", "rb") as f:
+        assert f.read() == b"this is not parquet"
+
+
+# ------------------------------------- manifest input fingerprint (C12)
+
+def _mini_pages(spark, n, text):
+    return spark.createDataFrame(
+        [(f"u{i}", i) for i in range(n)], "url string, ts long"
+    ).select(
+        "url",
+        F.timestamp_seconds("ts").alias("warc_ts"),
+        F.encode(F.lit(f"<p>{text}</p>"), "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def test_resume_recomputes_when_input_changed(spark, tmp_path):
+    out = str(tmp_path / "fp")
+    manifest = Manifest(spark, f"{out}/manifest")
+    fn = lambda d: extract_stage(d).select("url", "warc_ts", "lang", "text")  # noqa: E731
+
+    r1 = run_stage(
+        spark, manifest, "r", "extract", _mini_pages(spark, 40, "Old text."),
+        "url", fn, f"{out}/docs", fp_cols=["url", "html"],
+    )
+    assert r1.filter(F.col("text") == "Old text.").count() == 40
+    # same run_id + out_dir, DIFFERENT input → fingerprints mismatch →
+    # buckets recompute; output reflects the NEW input, never stale rows
+    r2 = run_stage(
+        spark, manifest, "r", "extract", _mini_pages(spark, 40, "New text."),
+        "url", fn, f"{out}/docs", fp_cols=["url", "html"],
+    )
+    assert r2.filter(F.col("text") == "New text.").count() == 40
+    assert r2.filter(F.col("text") == "Old text.").count() == 0
+
+
+def test_resume_skips_when_input_unchanged(spark, tmp_path):
+    out = str(tmp_path / "fp2")
+    manifest = Manifest(spark, f"{out}/manifest")
+    calls = {"n": 0}
+
+    def fn(d):
+        calls["n"] += 1
+        return extract_stage(d).select("url", "warc_ts", "lang", "text")
+
+    run_stage(spark, manifest, "r", "e", _mini_pages(spark, 40, "T."), "url", fn,
+              f"{out}/docs", fp_cols=["url", "html"])
+    assert calls["n"] == 1
+    run_stage(spark, manifest, "r", "e", _mini_pages(spark, 40, "T."), "url", fn,
+              f"{out}/docs", fp_cols=["url", "html"])
+    assert calls["n"] == 1, "unchanged input must not recompute"

@@ -13,6 +13,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from graphlab_spark.session import get_spark  # noqa: E402
 
 
@@ -72,12 +74,58 @@ def main() -> None:
         "WholeStageCodegen" in executed or "*(1)" in executed,
     )
 
-    # 6. dedup slim path: no html column in the winners aggregate scan
+    # 6. dedup slim path: winners join is AQE-DECIDED (not forced) — at
+    # this size the runtime plan must still pick a broadcast, while the
+    # logical plan carries no broadcast hint (so 10^9 urls won't OOM the
+    # driver at scale). Executed plan needed: AQE finalizes at runtime.
     from graphlab_spark.operators.extract import dedup_pages
     from graphlab_spark.sources import corpus
     pages = corpus.generate_pages(spark, 100)
-    p = plan_of(dedup_pages(pages))
-    ok_all &= check("dedup winners side joins via broadcast", "BroadcastHashJoin" in p, p[:800])
+    ddf = dedup_pages(pages)
+    logical = plan_of(ddf)
+    ok_all &= check(
+        "dedup winners join carries no forced broadcast hint",
+        "ResolvedHint" not in logical and "broadcast" not in logical.split("== Physical Plan ==")[0].lower(),
+    )
+    ddf.collect()
+    executed = ddf._jdf.queryExecution().executedPlan().toString()
+    ok_all &= check(
+        "dedup winners join broadcast AT THIS SIZE via AQE",
+        "BroadcastHashJoin" in executed, executed[:800],
+    )
+
+    # 6b. vocabulary-derived frames are never force-broadcast in source
+    # (VERDICT r1 item 1): entity_map / links / winners joins must rely
+    # on AQE. Static source check — the regression this guards is a
+    # reintroduced F.broadcast() around a vocabulary-sized frame.
+    import re as _re
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bad = []
+    for rel in ["graphlab_spark/plans/pipeline.py", "graphlab_spark/operators/linking.py",
+                "graphlab_spark/operators/extract.py", "graphlab_spark/operators/canonicalize.py"]:
+        src = open(f"{root}/{rel}").read()
+        for m in _re.finditer(r"F\.broadcast\(\s*(\w+)", src):
+            if m.group(1) in {"entity_map", "links", "winners", "em", "known", "kb", "surfaces"}:
+                bad.append(f"{rel}: F.broadcast({m.group(1)})")
+    ok_all &= check("no forced broadcast of vocabulary-sized frames", not bad, "; ".join(bad))
+
+    # 6c. salted join spreads the big side on (key, _salt)
+    from graphlab_spark.operators.skew import salted_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "event_id")
+    dim = ev.select("user_id").distinct().withColumn("seg", F.pmod(F.col("user_id"), F.lit(5)))
+    sj = salted_join(ev, dim, "user_id")
+    p = plan_of(sj)
+    ok_all &= check(
+        "salted_join shuffles on (key, _salt)",
+        "_salt" in p and "xxhash64" in p, p[:800],
+    )
+
+    # 6d. AQE skew-join handling is on (hot urls/surfaces split at runtime)
+    ok_all &= check(
+        "AQE + skew-join enabled",
+        spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        and spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true",
+    )
 
     # 7. lineitem filter + projection scan for a05
     p = plan_of(REGISTRY["a05_conjunction"].fn(spark, sf_dir))
