@@ -1,0 +1,107 @@
+"""Structured-Streaming micro-batch ingest of new crawl increments.
+
+The reference's job model is batch-with-retry (persisted job rows polled
+by workers — ``backend/README.md:26-27``), which maps exactly onto
+Structured Streaming's file source + ``foreachBatch``: each micro-batch
+is a new crawl increment; per-doc stages run the SAME fused parse as the
+batch pipeline; nodes/edges are MERGE-upserted idempotently (B1
+semantics), so replays after failure converge to the same tables. The
+streaming checkpoint gives exactly-once *file* accounting while the
+merge keys give idempotent *row* semantics — both are required for the
+end-to-end effectively-once contract.
+
+No watermarks/event-time aggregation: the reference defines none (see
+``graphlab_spark/streaming/__init__.py``); dedup-per-url ACROSS
+increments is handled by the merge key (latest increment wins on
+identical keys), mirroring the batch C13 semantics per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphlab_spark.operators import linking as _linking
+from graphlab_spark.operators import materialize as _mat
+from graphlab_spark.operators.mentions import build_alias_map
+from graphlab_spark.operators.parse import PARSED_SCHEMA, parse_stage  # noqa: F401
+from graphlab_spark.sources.corpus import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of page increments (parquet drops into a dir —
+    the streaming analog of 'a crawl job finished')."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_dir)
+    )
+
+
+def start_ingest(
+    spark: SparkSession,
+    pages_stream: DataFrame,
+    aliases: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    link_threshold: float = _linking.DEFAULT_THRESHOLD,
+):
+    """pages stream → foreachBatch(fused parse → link → MERGE nodes/edges).
+
+    Returns the StreamingQuery. Use ``trigger(availableNow)`` semantics by
+    awaiting termination after files stop arriving, or keep it running for
+    continuous ingest. Each batch is one manifest-equivalent unit: the
+    streaming checkpoint records which files were processed.
+    """
+    from graphlab_spark.plans.pipeline import vocab_entity_map_small
+
+    alias_rows = _linking.collect_alias_rows(aliases)
+    alias_map = build_alias_map(iter(alias_rows))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from graphlab_spark.operators.parse import mentions_view, triples_view
+        from graphlab_spark.operators.scratch import materialize
+
+        parsed = materialize(
+            parse_stage(spark, batch_df, alias_map), f"stream_batch_{batch_id}"
+        )
+        mentions = mentions_view(parsed)
+        triples = triples_view(parsed)
+        surfaces = [
+            r["surface"]
+            for r in mentions.select("surface")
+            .unionByName(triples.select(F.col("subj").alias("surface")))
+            .unionByName(triples.select(F.col("obj").alias("surface")))
+            .distinct()
+            .collect()
+        ]
+        _, entity_map = vocab_entity_map_small(
+            spark, surfaces, alias_rows, link_threshold, jaccard_dist=0.28
+        )
+        linked = mentions.join(entity_map, "surface").select(
+            F.col("entity_id").alias("canonical_id"), "surface", "m_type"
+        )
+        nodes = _mat.build_nodes(linked)
+        t = (
+            triples.join(entity_map.withColumnRenamed("surface", "subj"), "subj")
+            .withColumnRenamed("entity_id", "subj_id")
+            .join(entity_map.withColumnRenamed("surface", "obj"), "obj")
+            .withColumnRenamed("entity_id", "obj_id")
+        )
+        edges = _mat.build_edges(t.select("subj_id", "pred", "obj_id", "url", "conf"))
+        # Idempotent MERGE (B1): a replayed batch rewrites the same rows.
+        # Cross-batch aggregation: node/edge rows are replaced per key —
+        # within one increment flow that is the latest-wins contract; a
+        # cumulative count would instead MERGE with additive update (one
+        # MERGE INTO ... UPDATE SET n = t.n + s.n on Iceberg).
+        _mat.merge_upsert(spark, f"{out_dir}/nodes", nodes, ["id"])
+        _mat.merge_upsert(spark, f"{out_dir}/edges", edges, ["src", "pred", "dst"])
+
+    return (
+        pages_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -88,3 +88,26 @@ def test_bulk_delete_reports_not_found(spark):
     remaining, not_found = bulk_delete_keywords(df, ids)
     assert [r.id for r in remaining.collect()] == ["k1"]
     assert [r.id for r in not_found.collect()] == ["k9"]
+
+
+def test_single_upsert_overwrites_only_non_none_fields(spark):
+    """A17 nuance (ref research_keyword.py:118-126): a None incoming field
+    keeps the existing value; non-None incoming fields overwrite; new keys
+    insert as-is."""
+    from graphlab_spark.operators.keywords import upsert_keywords_non_null
+
+    existing = _df(spark, [("s1", "spark", 0.7, "user", "seed", True)])
+    incoming = _df(
+        spark,
+        [
+            ("s1", "spark", None, "ai", None, None),  # weight/rationale keep
+            ("s1", "flink", 0.4, "ai", "new kw", False),  # insert
+        ],
+    )
+    out = {r.term: r for r in upsert_keywords_non_null(existing, incoming).collect()}
+    assert set(out) == {"spark", "flink"}
+    assert out["spark"].weight == 0.7  # None incoming → existing kept
+    assert out["spark"].source == "ai"  # non-None incoming → overwritten
+    assert out["spark"].rationale == "seed"
+    assert out["spark"].is_primary is True
+    assert out["flink"].weight == 0.4

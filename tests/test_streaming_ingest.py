@@ -1,0 +1,66 @@
+"""Structured-Streaming ingest: micro-batched increments produce the same
+graph as one batch run, and replays stay idempotent (effectively-once)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from graphlab_spark.sources import corpus
+from graphlab_spark.streaming.ingest import read_pages_stream, start_ingest
+
+N = 120
+
+
+def _drop_increment(spark, path: str, lo: int, hi: int) -> None:
+    """Write pages [lo, hi) as one parquet drop (a finished crawl job)."""
+    import pandas as pd
+
+    rows = [corpus.page_record(i) for i in range(lo, hi)]
+    spark.createDataFrame(pd.DataFrame(rows), corpus.PAGES_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_streaming_increments_match_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    aliases = corpus.alias_df(spark)
+
+    # two increments land before the run
+    _drop_increment(spark, in_dir, 0, 60)
+    _drop_increment(spark, in_dir, 60, N)
+    q = start_ingest(spark, read_pages_stream(spark, in_dir), aliases, out_dir, ckpt)
+    q.awaitTermination(300)
+
+    nodes = spark.read.parquet(f"{out_dir}/nodes")
+    edges = spark.read.parquet(f"{out_dir}/edges")
+    assert nodes.count() > 0 and edges.count() > 0
+    # every edge endpoint resolves to a node or a known canonical id
+    ids = {r.id for r in nodes.select("id").collect()}
+    for r in edges.select("src", "dst").limit(50).collect():
+        assert r.src in ids and r.dst in ids
+
+    # batch reference over the same pages: edge key set must match
+    from graphlab_spark.plans.pipeline import run_pipeline_in_memory
+
+    batch = run_pipeline_in_memory(spark, corpus.generate_pages(spark, N), aliases)
+    b_edges = {
+        (r.src, r.pred, r.dst) for r in batch["edges"].select("src", "pred", "dst").collect()
+    }
+    s_edges = {(r.src, r.pred, r.dst) for r in edges.select("src", "pred", "dst").collect()}
+    # increments were split on page-id, and per-url dedup inside one batch
+    # can't see the other increment — but this fixture's duplicate urls
+    # always pair page i with i-1 inside the same increment, so sets match.
+    assert s_edges == b_edges
+
+    # replay: rerunning the stream with the same checkpoint processes
+    # nothing new and leaves the tables unchanged (effectively-once)
+    before = sorted(tuple(r) for r in edges.collect())
+    q2 = start_ingest(spark, read_pages_stream(spark, in_dir), aliases, out_dir, ckpt)
+    q2.awaitTermination(120)
+    after = sorted(tuple(r) for r in spark.read.parquet(f"{out_dir}/edges").collect())
+    assert before == after
