@@ -91,11 +91,18 @@ def main() -> None:
         ),
     )
 
-    # --- KG pipeline last. heavy=True since r02: realistic Common-Crawl
-    # per-doc weight (~8x more prose than the r01 light pages — r01's
-    # 822 docs/s at sf0.1 was measured on light pages and is not
-    # comparable to r02+ numbers).
-    pages = corpus.generate_pages(spark, n_pages, heavy=True)
+    # --- KG pipeline last. Since r02: heavy=True (realistic Common-Crawl
+    # per-doc weight, ~8x more prose than r01's light pages — r01's
+    # 822 docs/s at sf0.1 is not comparable) and the corpus is
+    # PRE-MATERIALIZED untimed (the contract input is a table of web
+    # pages; the timed region reads parquet, mirroring scaling_bench).
+    from graphlab_spark.operators.scratch import scratch_dir
+
+    pages_path = f"{scratch_dir()}/bench_pages"
+    corpus.generate_pages(spark, n_pages, heavy=True).write.mode("overwrite").parquet(
+        pages_path
+    )
+    pages = spark.read.parquet(pages_path)
     aliases = corpus.alias_df(spark)
     t0 = time.time()
     res = run_pipeline_in_memory(spark, pages, aliases)

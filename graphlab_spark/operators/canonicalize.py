@@ -14,8 +14,12 @@ Scale design:
   band-bucket shuffle join, never a cross join.
 - Connected components is min-label propagation over DataFrame joins —
   components here are tiny variant clusters (diameter ≤ ~3), so the loop
-  converges in a handful of iterations; ``localCheckpoint`` each
-  iteration cuts lineage so plans don't grow exponentially.
+  converges in a handful of iterations; each iteration is pinned to
+  scratch parquet (operators/scratch.py) to cut lineage so plans don't
+  grow exponentially — off-heap, unlike driver-heap localCheckpoint.
+- Size-adaptive: below a vocabulary threshold the whole stage runs on
+  the driver (``canonicalize_small``) with the SAME kernels — one job
+  instead of ~10 — exactly like connected_components' union-find switch.
 """
 
 from __future__ import annotations

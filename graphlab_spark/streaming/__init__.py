@@ -11,8 +11,11 @@ which is the micro-batch pattern Structured Streaming's file source
 would give, without a long-running query or watermark semantics the
 reference never defines.
 
-If a true push-based source appears, the extraction/mention/triple
-stages are stateless single-pass transforms and lift directly onto
-``readStream`` → ``transform`` → ``writeStream`` with
-``foreachBatch(run_stage)``.
+For push-based increments that pattern is implemented in
+:mod:`graphlab_spark.streaming.ingest`: a file-source ``readStream`` of
+page drops + ``foreachBatch`` running the fused parse / link /
+canonicalize stages and MERGE-upserting nodes/edges idempotently —
+checkpointed file accounting × idempotent merge keys = effectively-once.
+Watermarks/event-time aggregation remain deliberately unbuilt: the
+reference defines no event-time semantics to reproduce.
 """

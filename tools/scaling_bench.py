@@ -231,8 +231,8 @@ the pipeline reaches ≈ the hardware ceiling (last column ≈ 1), i.e. the
 FRAMEWORK adds no scaling bottleneck — the residual is the machine.
 
 Per-stage seconds of best runs (parse = per-doc parallel work;
-link+canonicalize = vocabulary stage, the serial tail — adaptive driver
-fast-path keeps it <2s at every size):
+link+canonicalize = vocabulary stage, the serial tail — the adaptive
+driver fast-path keeps it to ~1-3 s at every size):
 {json.dumps(st, indent=2)}
 
 Job: full KG pipeline (fused parse [dedup+extract+mentions+triples] →
