@@ -242,8 +242,24 @@ def canonicalize_stage(
 
 # --------------------------------------------- driver fast path (small vocab)
 
+class FastPathOverflow(Exception):
+    """Raised when the driver fast path's candidate budget is exceeded —
+    the caller must fall back to the distributed path. Happens on
+    CLUSTERED vocabularies (many near-identical strings land in the same
+    LSH buckets → pair enumeration approaches O(n²)); row count alone
+    cannot predict it, so the budget is enforced during enumeration."""
+
+
+# candidate-pair budget for the driver fast path (env-tunable)
+import os as _os
+
+FASTPATH_MAX_CANDIDATES = int(_os.environ.get("SPARK_GRAFT_FASTPATH_MAX_CAND", "2000000"))
+
+
 def similarity_pairs_small(
-    items: list[tuple[str, str]], jaccard_dist: float = DEFAULT_JACCARD_DIST
+    items: list[tuple[str, str]],
+    jaccard_dist: float = DEFAULT_JACCARD_DIST,
+    max_candidates: int | None = None,
 ) -> list[tuple[str, str]]:
     """Driver-side replica of :func:`similarity_pairs` for vocabulary sets
     that fit on the driver: SAME minhash signatures (identical numpy
@@ -269,9 +285,18 @@ def similarity_pairs_small(
         for b in range(N_BANDS):
             key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
             buckets.setdefault(key, []).append(item_id)
+    budget = FASTPATH_MAX_CANDIDATES if max_candidates is None else max_candidates
     cand: set[tuple[str, str]] = set()
+    projected = 0
     for ids in buckets.values():
         if len(ids) > 1:
+            # bound BEFORE enumerating: one hot bucket can be O(n²) alone
+            projected += len(ids) * (len(ids) - 1) // 2
+            if projected > budget:
+                raise FastPathOverflow(
+                    f"candidate pairs exceed driver budget {budget}; "
+                    "vocabulary is clustered — use the distributed path"
+                )
             ids = sorted(ids)
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
@@ -288,6 +313,7 @@ def similarity_pairs_small(
 def canonicalize_small(
     entities: list[tuple[str, str, bool]],
     jaccard_dist: float = DEFAULT_JACCARD_DIST,
+    max_candidates: int | None = None,
 ) -> dict[str, str]:
     """Driver-side replica of :func:`canonicalize_stage` for small vocabs
     (the adaptive fast path — same size-switch philosophy as
@@ -298,7 +324,9 @@ def canonicalize_small(
     known = {eid for eid, _, k in entities if k}
     pairs = [
         (a, b)
-        for a, b in similarity_pairs_small([(e, s) for e, s, _ in entities], jaccard_dist)
+        for a, b in similarity_pairs_small(
+            [(e, s) for e, s, _ in entities], jaccard_dist, max_candidates
+        )
         if a not in known or b not in known  # drop known-known
     ]
     comp = dict(_driver_union_find(pairs))

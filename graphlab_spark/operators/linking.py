@@ -215,6 +215,17 @@ def link_surfaces_small(
                 (surface, skey, c) for c in cands if c["akey"] != skey
             )
 
+    from graphlab_spark.operators.canonicalize import (
+        FASTPATH_MAX_CANDIDATES,
+        FastPathOverflow,
+    )
+
+    if len(fuzzy_pairs) > FASTPATH_MAX_CANDIDATES:
+        raise FastPathOverflow(
+            f"{len(fuzzy_pairs)} fuzzy link candidates exceed the driver "
+            f"budget {FASTPATH_MAX_CANDIDATES}; use the distributed path"
+        )
+
     # ONE vectorized cosine batch over every fuzzy candidate pair
     # (einsum is row-independent, so global batching is bit-identical to
     # the per-pair computation the Spark UDF performs)

@@ -72,17 +72,42 @@ def _trim_span(text: str, start: int, end: int) -> int:
     return e
 
 
-def find_mentions(text: str | None, alias_map: dict[str, tuple[str, str]]) -> list[dict]:
+def _first_token_gate(alias_map: dict[str, tuple[str, str]]) -> frozenset[str]:
+    """Set of first tokens of every alias key — an O(1) prescreen.
+
+    A token n-gram can only match an alias when its first word (which is
+    the token's lowercase form, minus at most one trailing dot for the
+    n=1 case) is an alias's first word — so tokens failing this set test
+    can skip the slice+normalize+lookup work entirely. Pure optimization:
+    provably no behavior change (the gate is a superset of matches).
+    """
+    return frozenset(k.split(" ")[0] for k in alias_map)
+
+
+def find_mentions(
+    text: str | None,
+    alias_map: dict[str, tuple[str, str]],
+    gate: frozenset[str] | None = None,
+) -> list[dict]:
     """Longest-match gazetteer scan over token n-grams, then capitalized
-    spans in uncovered regions (type UNK — candidates for fuzzy linking)."""
+    spans in uncovered regions (type UNK — candidates for fuzzy linking).
+
+    ``gate``: pass ``_first_token_gate(alias_map)`` computed once per
+    batch (the UDFs do); recomputed per call when omitted.
+    """
     if not text:
         return []
+    if gate is None:
+        gate = _first_token_gate(alias_map)
     out: list[dict] = []
     covered: list[tuple[int, int]] = []
     # token scan with absolute offsets
     toks = [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
     i = 0
     while i < len(toks):
+        if toks[i][0].lower().rstrip(".") not in gate:
+            i += 1
+            continue
         hit = None
         for n in range(min(_MAX_NGRAM, len(toks) - i), 0, -1):
             start, end = toks[i][1], toks[i + n - 1][2]
@@ -135,7 +160,8 @@ def mentions_stage(
     @F.pandas_udf(T.ArrayType(MENTION_STRUCT))
     def detect(texts: pd.Series) -> pd.Series:
         amap = bc.value
-        return texts.map(lambda t: find_mentions(t, amap))
+        gate = _first_token_gate(amap)  # once per Arrow batch
+        return texts.map(lambda t: find_mentions(t, amap, gate))
 
     return (
         docs.select("url", F.explode(detect(F.col("text"))).alias("m"))

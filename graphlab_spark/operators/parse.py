@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from graphlab_spark.operators.extract import dedup_pages, extract_text_bytes
-from graphlab_spark.operators.mentions import MENTION_STRUCT, find_mentions
+from graphlab_spark.operators.mentions import (
+    MENTION_STRUCT,
+    _first_token_gate,
+    find_mentions,
+)
 from graphlab_spark.operators.triples import TRIPLE_STRUCT, extract_triples_text
 
 PARSED_SCHEMA = T.StructType(
@@ -60,6 +64,7 @@ def parse_stage(
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         amap = bc.value
+        gate = _first_token_gate(amap)
         for b in batches:
             texts = [extract_text_bytes(h) for h in b["html"]]
             langs = list(b["lang"])
@@ -69,7 +74,7 @@ def parse_stage(
                     "warc_ts": b["warc_ts"],
                     "lang": b["lang"],
                     "text": texts,
-                    "mentions": [find_mentions(t, amap) for t in texts],
+                    "mentions": [find_mentions(t, amap, gate) for t in texts],
                     "triples": [
                         extract_triples_text(t)
                         if (lang_filter is None or lg == lang_filter)

@@ -48,6 +48,16 @@ _PRED_PATTERNS: list[tuple[str, re.Pattern[str]]] = [
 
 _CLEAN_RE = re.compile(r"^[\s\"'(]+|[\s\"')]+$")
 
+# Prescreen: one alternation of the anchor phrases. A line with no anchor
+# (the vast majority — filler prose) is rejected with a single C-level
+# scan instead of 10 anchored match attempts. Boolean gate ONLY — matched
+# lines still run the ordered pattern loop, so output is byte-identical.
+_ANCHOR_RE = re.compile(
+    r" was founded by | is headquartered in | acquired | works at "
+    r"| was born in | develops | partnered with | is the chief executive of "
+    r"| invested in | is located near "
+)
+
 
 def _clean_arg(s: str) -> str:
     return _CLEAN_RE.sub("", s)
@@ -60,7 +70,7 @@ def extract_triples_text(text: str | None) -> list[dict]:
     out: list[dict] = []
     for sent_no, line in enumerate(text.split("\n")):
         line = line.strip()
-        if not line or len(line) > 2000:
+        if not line or len(line) > 2000 or _ANCHOR_RE.search(line) is None:
             continue
         for pred, pat in _PRED_PATTERNS:
             m = pat.match(line)

@@ -344,11 +344,17 @@ def run_pipeline_in_memory(
         .distinct()
     )
     head = surfaces_plan.limit(vmax + 1).collect()
+    links = entity_map = None
     if len(head) <= vmax:
-        links, entity_map = vocab_entity_map_small(
-            spark, [r["surface"] for r in head], alias_rows, link_threshold, jaccard_dist
-        )
-    else:
+        try:
+            links, entity_map = vocab_entity_map_small(
+                spark, [r["surface"] for r in head], alias_rows, link_threshold, jaccard_dist
+            )
+        except _canon.FastPathOverflow:
+            # clustered vocabulary (near-O(n²) candidates) — size alone
+            # can't predict it; fall through to the distributed path
+            links = entity_map = None
+    if entity_map is None:
         surfaces = _pin(surfaces_plan, "surfaces")
         links = _pin(
             _linking.link_surfaces(spark, surfaces, aliases, link_threshold), "links"

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphlab_spark.operators import canonicalize as _canon
 from graphlab_spark.operators import linking as _linking
 from graphlab_spark.operators import materialize as _mat
 from graphlab_spark.operators.mentions import build_alias_map
@@ -69,17 +70,23 @@ def start_ingest(
         )
         mentions = mentions_view(parsed)
         triples = triples_view(parsed)
-        surfaces = [
-            r["surface"]
-            for r in mentions.select("surface")
+        surfaces_plan = (
+            mentions.select("surface")
             .unionByName(triples.select(F.col("subj").alias("surface")))
             .unionByName(triples.select(F.col("obj").alias("surface")))
             .distinct()
-            .collect()
-        ]
-        _, entity_map = vocab_entity_map_small(
-            spark, surfaces, alias_rows, link_threshold, jaccard_dist=0.28
         )
+        try:
+            surfaces = [r["surface"] for r in surfaces_plan.collect()]
+            _, entity_map = vocab_entity_map_small(
+                spark, surfaces, alias_rows, link_threshold, jaccard_dist=0.28
+            )
+        except _canon.FastPathOverflow:  # clustered batch vocabulary
+            from graphlab_spark.plans.pipeline import _entity_map_distributed
+
+            sdf = materialize(surfaces_plan, f"stream_surfaces_{batch_id}")
+            links = _linking.link_surfaces(spark, sdf, aliases, link_threshold)
+            entity_map = _entity_map_distributed(spark, sdf, links, aliases, 0.28)
         linked = mentions.join(entity_map, "surface").select(
             F.col("entity_id").alias("canonical_id"), "surface", "m_type"
         )

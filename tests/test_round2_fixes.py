@@ -190,3 +190,32 @@ def test_resume_skips_when_input_unchanged(spark, tmp_path):
     run_stage(spark, manifest, "r", "e", _mini_pages(spark, 40, "T."), "url", fn,
               f"{out}/docs", fp_cols=["url", "html"])
     assert calls["n"] == 1, "unchanged input must not recompute"
+
+
+# ------------------------------------- fast-path candidate budget guard
+
+def test_fastpath_overflow_raises_fast_on_clustered_vocab():
+    """Near-identical strings cluster into the same LSH buckets, making
+    driver-side pair enumeration O(n²). The budget guard must trip BEFORE
+    enumerating (projected-count check), not after minutes of work."""
+    import time
+
+    import pytest as _pytest
+
+    from graphlab_spark.operators.canonicalize import FastPathOverflow, canonicalize_small
+
+    ents = [(f"unk:e{i}", f"entity number {i} corp", False) for i in range(4000)]
+    t0 = time.time()
+    with _pytest.raises(FastPathOverflow):
+        canonicalize_small(ents, max_candidates=100_000)
+    assert time.time() - t0 < 30, "guard must trip before the O(n²) loop runs"
+
+
+def test_pipeline_falls_back_to_distributed_on_overflow(spark, monkeypatch):
+    import graphlab_spark.operators.canonicalize as C
+
+    monkeypatch.setattr(C, "FASTPATH_MAX_CANDIDATES", 1)
+    pages = corpus.generate_pages(spark, 100)
+    aliases = corpus.alias_df(spark)
+    res = run_pipeline_in_memory(spark, pages, aliases, vocab_driver_max=10**6)
+    assert res["edges"].count() > 0  # distributed fallback produced the graph
