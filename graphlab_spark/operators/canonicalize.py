@@ -24,6 +24,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -251,9 +253,7 @@ class FastPathOverflow(Exception):
 
 
 # candidate-pair budget for the driver fast path (env-tunable)
-import os as _os
-
-FASTPATH_MAX_CANDIDATES = int(_os.environ.get("SPARK_GRAFT_FASTPATH_MAX_CAND", "2000000"))
+FASTPATH_MAX_CANDIDATES = int(os.environ.get("SPARK_GRAFT_FASTPATH_MAX_CAND", "2000000"))
 
 
 def similarity_pairs_small(

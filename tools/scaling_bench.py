@@ -79,14 +79,20 @@ def _hw_work(args: tuple[int, int]) -> int:
     return n
 
 
-def hardware_control(procs: int, n_docs: int = 40_000) -> float:
+def hardware_control(procs: int, n_docs: int = 40_000, reps: int = 3) -> float:
     """Raw multiprocessing wall over the identical per-doc kernel
-    (generate+extract) — the ceiling any framework can reach on this box."""
+    (generate+extract) — the ceiling any framework can reach on this box.
+    Min over ``reps``: host steal-time fluctuates over minutes, and the
+    quiet-window wall is the actual provisioning ceiling."""
     chunks = [(i * n_docs // 64, (i + 1) * n_docs // 64) for i in range(64)]
-    t0 = time.time()
-    with mp.Pool(procs) as p:
-        p.map(_hw_work, chunks)
-    return time.time() - t0
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_hw_work, chunks)
+        w = time.time() - t0
+        best = w if best is None or w < best else best
+    return best
 
 
 # --------------------------------------------------------------- spark worker
@@ -172,9 +178,17 @@ def main() -> None:
     hw = {c: round(hardware_control(c), 2) for c in counts}
     print("hardware control walls:", hw)
 
+    # INTERLEAVE sizes across repeats: host steal-time varies over
+    # minutes, so measuring all repeats of one size back-to-back samples
+    # one noise window per size; alternating rounds give every size a
+    # shot at the quiet windows, and min-of-rounds estimates the true
+    # (uncontended) wall at each size.
     results: dict[int, dict] = {}
-    for c in counts:
-        results[c] = run_worker(c, n_pages, repeats)
+    for rnd in range(repeats):
+        for c in counts:
+            r = run_worker(c, n_pages, 1)
+            if c not in results or r["wall_sec"] < results[c]["wall_sec"]:
+                results[c] = r
 
     rows = []
     gate = None
@@ -207,9 +221,10 @@ North rule: throughput scaling efficiency >= {EFFICIENCY_TARGET} from N to 4N ex
 Same job, IDENTICAL pre-materialized input ({n_pages} heavy synthetic pages
 written once as parquet — the north rule's input is a table of web pages,
 so the timed region reads a table; corpus generation is untimed), fresh
-JVM per size, full-size warm-up excluded, best of
-{os.environ.get('SCALING_INNER_REPS', '2')} runs × {repeats} JVM repeat(s),
-tmpfs scratch wiped between runs.
+JVM per size, full-size warm-up excluded, min over {repeats} rounds
+INTERLEAVED across sizes (host steal-time varies over minutes — alternating
+rounds give every size a shot at the quiet windows), tmpfs scratch wiped
+between runs.
 
 | parallelism | pipeline wall (s) | docs/s | triples/s | hw-control wall (s) |
 |---|---|---|---|---|
