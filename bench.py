@@ -78,6 +78,7 @@ def main() -> None:
     timed("dedup_minhash", lambda: _count(DD.minhash_lsh_pairs(planted, 0.8)))
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("ann_bruteforce", lambda: _count(ANN.brute_force_topk(embs, list(range(50)), k=10)))
+    timed("ann_ivf", lambda: _count(ANN.ivf_topk(embs, list(range(50)), k=10)))
     timed(
         "text_stats",
         lambda: _count(

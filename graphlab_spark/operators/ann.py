@@ -97,6 +97,84 @@ def lsh_buckets_udf(vecs: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _centroids(embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic coarse quantizer: the L2-normalized vectors of the
+    ``n_centroids`` smallest ids serve as Voronoi seeds — a deterministic
+    stand-in for k-means (at 10^12 rows you'd train centroids offline on
+    a sample and broadcast them exactly like this)."""
+    rows = (
+        embeddings.orderBy(F.col(id_col).asc()).limit(n_centroids)
+        .select(id_col, vec_col).collect()
+    )
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return C / norms
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the second scale path beside sign-LSH.
+
+    Corpus vectors are assigned to their nearest centroid cell (one cell
+    per vector — the inverted file); a query probes its ``n_probe``
+    nearest cells and exact-reranks only those candidates. The shuffle
+    key is the cell id; candidate fan-out is corpus/n_centroids×n_probe
+    in expectation — no cross join. Recall: a query's exact duplicate is
+    ALWAYS found (identical vector → identical nearest cell ⊆ probes);
+    weaker neighbors follow the cell-overlap probability (pytest pins
+    measured floors).
+    """
+    spark = embeddings.sparkSession
+    C = _centroids(embeddings, n_centroids, id_col, vec_col)
+    bc = spark.sparkContext.broadcast(C)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        return pd.Series(np.argmax(M @ bc.value.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes_udf(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        sims = M @ bc.value.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype(int).tolist() for row in order])
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        cell_udf(F.col(vec_col)).alias("cell"),
+    )
+    qside = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(probes_udf(F.col(vec_col))).alias("cell"),
+        )
+    )
+    cand = (
+        corpus.join(F.broadcast(qside), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("score", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -138,6 +138,29 @@ def minhash_udf(shingles: pd.Series) -> pd.Series:
     return _minhash_batch(shingles)
 
 
+def prehashed_col(sh_col: str = "sh"):
+    """JVM-side per-shingle hashing: xxhash64 inside a transform lambda.
+    Moves the per-string hash out of Python entirely — the UDF below then
+    only runs the vectorized numpy permute-min. (The entity-canonicalize
+    path keeps the blake2b string UDF: its outputs are golden-gated.)"""
+    return F.expr(f"transform({sh_col}, s -> xxhash64(s))")
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_hashes_udf(hashes: pd.Series) -> pd.Series:
+    """Minhash signatures from PRE-HASHED shingles (array<long>): pure
+    numpy per Arrow batch — no per-string Python work at all."""
+    out = []
+    for hv in hashes:
+        if hv is None or len(hv) == 0:
+            out.append([0] * N_HASHES)
+            continue
+        h = np.asarray(hv, dtype=np.int64) % _MERSENNE
+        ph = (h[:, None] * _HASH_A[None, :] + _HASH_B[None, :]) % _MERSENNE
+        out.append(ph.min(axis=0).tolist())
+    return pd.Series(out)
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Candidate pairs via banded minhash buckets, verified with exact
     Jaccard. Shuffles on (band, bucket-signature) — bounded fan-out, no
@@ -145,9 +168,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     from graphlab_spark.operators.scratch import materialize
 
     sigs = materialize(  # reused by band explode AND verify join — pin off-heap
-        docs.select("doc_id", shingles_col().alias("sh")).withColumn(
-            "sig", minhash_udf(F.col("sh"))
-        ),
+        docs.select("doc_id", shingles_col().alias("sh"))
+        .withColumn("sig", minhash_hashes_udf(prehashed_col("sh")))
+        ,
         "minhash_sigs",
     )
     rows_per_band = N_HASHES // N_BANDS
@@ -184,6 +207,17 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
 
 # ---------------------------------------------------------------- SimHash
 
+def _simhash_from_u64(hv: np.ndarray) -> int:
+    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int.from_bytes(
+        int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+        .to_bytes(8, "big", signed=False),
+        "big",
+        signed=True,
+    )
+
+
 @F.pandas_udf(T.LongType())
 def simhash_udf(shingles: pd.Series) -> pd.Series:
     """64-bit simhash over shingle hashes, vectorized per Arrow batch."""
@@ -192,19 +226,25 @@ def simhash_udf(shingles: pd.Series) -> pd.Series:
         if sh is None or len(sh) == 0:
             continue
         hv = np.array([hash_shingle(s) for s in sh], dtype=np.uint64)
-        bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-        acc = (2 * bits - 1).sum(axis=0)
-        out[i] = int.from_bytes(
-            int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
-            .to_bytes(8, "big", signed=False),
-            "big",
-            signed=True,
-        )
+        out[i] = _simhash_from_u64(hv)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.LongType())
+def simhash_hashes_udf(hashes: pd.Series) -> pd.Series:
+    """Simhash from PRE-HASHED shingles (JVM xxhash64) — numpy only."""
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for i, hv in enumerate(hashes):
+        if hv is None or len(hv) == 0:
+            continue
+        out[i] = _simhash_from_u64(np.asarray(hv, dtype=np.int64).view(np.uint64))
     return pd.Series(out)
 
 
 def simhash_table(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", simhash_udf(shingles_col()).alias("simhash"))
+    return docs.select("doc_id", shingles_col().alias("sh")).select(
+        "doc_id", simhash_hashes_udf(prehashed_col("sh")).alias("simhash")
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

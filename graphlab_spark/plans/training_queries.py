@@ -214,6 +214,16 @@ def s02(spark, sf):
     return ANN.lsh_topk(_t(spark, sf, "embeddings"), list(range(10)), k=5)
 
 
+@q(
+    "s03_ann_ivf_topk",
+    None,  # centroid assignment is not oracle-expressible; recall floors
+    # vs s01 are pinned in tests/test_ann.py (measured 0.87 @ recall@5).
+    "ANN scale path 2: IVF — inverted-file cells + n_probe exact re-rank",
+)
+def s03(spark, sf):
+    return ANN.ivf_topk(_t(spark, sf, "embeddings"), list(range(10)), k=5)
+
+
 # -------------------------------------------------------------- multimodal
 
 _MEDIA_SQL_FIELDS = (

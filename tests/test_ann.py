@@ -96,3 +96,35 @@ def test_lsh_finds_planted_strong_neighbors(spark, embs):
     }
     hits = sum(1 for q in qids if lsh.get(q) == q + 10_000)
     assert hits >= 7, (hits, lsh)
+
+
+def test_ivf_recall_floor_vs_bruteforce(spark, embs):
+    """IVF (64 cells, 8 probes) recall floor vs exact top-5 on the random
+    corpus: measured 0.87 — pinned at >= 0.75 (deterministic centroids +
+    deterministic data => a fixed number, margin for testdata re-gen)."""
+    qids = list(range(20))
+    bf, ivf = {}, {}
+    for r in ANN.brute_force_topk(embs, qids, k=5).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ANN.ivf_topk(embs, qids, k=5).collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(bf[q] & ivf.get(q, set())) for q in qids)
+    assert hits / (5 * len(qids)) >= 0.75
+
+
+def test_ivf_always_finds_exact_copies(spark, embs):
+    """An identical vector lands in the identical nearest cell, and a
+    query always probes its own cell — exact-duplicate recall is 1.0 by
+    construction, not probabilistically."""
+    from pyspark.sql import functions as F
+
+    copies = embs.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    planted = embs.unionByName(copies)
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in ANN.ivf_topk(planted, list(range(8)), k=1).collect()
+        if r.rank == 1
+    }
+    assert all(top1.get(q) == q + 10_000 for q in range(8)), top1
