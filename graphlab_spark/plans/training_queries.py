@@ -351,6 +351,33 @@ def kg_c10(spark, sf):
 
 
 @q(
+    "kg_graph_khop",
+    "WITH e AS (SELECT DISTINCT subj_id AS src, obj_id AS dst "
+    f"FROM '{REPO_FIXTURES}/golden_triples.parquet'), "
+    "u AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), "
+    "h1 AS (SELECT DISTINCT dst AS id FROM u "
+    " WHERE src = 'org:acme-systems' AND dst != 'org:acme-systems'), "
+    "h2 AS (SELECT DISTINCT u.dst AS id FROM u JOIN h1 ON u.src = h1.id "
+    " WHERE u.dst != 'org:acme-systems' AND u.dst NOT IN (SELECT id FROM h1)) "
+    "SELECT id, 1 AS hop FROM h1 UNION ALL SELECT id, 2 AS hop FROM h2",
+    "graph-query surface: 2-hop neighborhood of the hot entity over the "
+    "materialized edges (the chatbot-traversal analog, ref message.py:22-27) "
+    "— live pipeline edges vs the frozen golden adjacency",
+)
+def kg_khop(spark, sf):
+    from graphlab_spark.operators.graph_query import k_hop_neighbors
+    from graphlab_spark.plans.pipeline import run_pipeline_in_memory
+    from graphlab_spark.sources import corpus
+
+    pages = corpus.generate_pages(spark, 300)
+    aliases = corpus.alias_df(spark)
+    res = run_pipeline_in_memory(spark, pages, aliases)
+    return k_hop_neighbors(res["edges"], "org:acme-systems", k=2).select(
+        "id", F.col("hop").cast("int").alias("hop")
+    )
+
+
+@q(
     "kg_c14_doc_relevance",
     f"SELECT url, relevance FROM '{REPO_FIXTURES}/golden_relevance.parquet'",
     "C14 keyword-weight ranking: per-doc relevance = sum of matched alias "

@@ -219,3 +219,36 @@ def test_pipeline_falls_back_to_distributed_on_overflow(spark, monkeypatch):
     aliases = corpus.alias_df(spark)
     res = run_pipeline_in_memory(spark, pages, aliases, vocab_driver_max=10**6)
     assert res["edges"].count() > 0  # distributed fallback produced the graph
+
+
+# ------------------------------ determinism across parallelism levels
+
+def test_pipeline_output_invariant_to_shuffle_partitions(spark):
+    """The north rule requires the same output at N and 4N executors —
+    pinned here by running the pipeline under different shuffle
+    parallelism and comparing the full edge set (ids, weights, counts)."""
+    pages = corpus.generate_pages(spark, 150)
+    aliases = corpus.alias_df(spark)
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = run_pipeline_in_memory(spark, pages, aliases)
+        ea = {tuple(r) for r in a["edges"].select("src", "pred", "dst", "n_evidence", "weight").collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = run_pipeline_in_memory(spark, pages, aliases)
+        eb = {tuple(r) for r in b["edges"].select("src", "pred", "dst", "n_evidence", "weight").collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert ea == eb
+
+
+def test_khop_matches_python_bfs(spark):
+    """k_hop_neighbors against a driver-side BFS over the same edge set."""
+    from graphlab_spark.operators.graph_query import k_hop_neighbors
+
+    edges = spark.createDataFrame(
+        [("a", "x", "b"), ("b", "x", "c"), ("c", "x", "d"), ("e", "x", "a"), ("f", "x", "g")],
+        "src string, pred string, dst string",
+    )
+    got = {(r.id, r.hop) for r in k_hop_neighbors(edges, "a", k=2).collect()}
+    assert got == {("b", 1), ("e", 1), ("c", 2)}

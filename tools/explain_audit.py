@@ -120,6 +120,13 @@ def main() -> None:
         "_salt" in p and "xxhash64" in p, p[:800],
     )
 
+    # 6c2. IVF ANN: query probes broadcast, no cartesian anywhere
+    from graphlab_spark.operators import ann as ANN
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(ANN.ivf_topk(embs, [0, 1, 2], k=3))
+    ok_all &= check("ivf_topk broadcasts the probe side", "BroadcastHashJoin" in p or "broadcast" in p.lower())
+    ok_all &= check("ivf_topk no CartesianProduct", "CartesianProduct" not in p)
+
     # 6d. AQE skew-join handling is on (hot urls/surfaces split at runtime)
     ok_all &= check(
         "AQE + skew-join enabled",
