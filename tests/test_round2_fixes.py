@@ -252,3 +252,14 @@ def test_khop_matches_python_bfs(spark):
     )
     got = {(r.id, r.hop) for r in k_hop_neighbors(edges, "a", k=2).collect()}
     assert got == {("b", 1), ("e", 1), ("c", 2)}
+
+
+def test_alias_collect_ceiling_raises(spark):
+    """The driver-resident alias dictionary has a hard row ceiling — a
+    vocabulary-sized table must fail loudly, not be collected silently."""
+    from graphlab_spark.operators.linking import collect_alias_rows
+
+    big = spark.range(50).selectExpr("cast(id as string) AS alias")
+    with pytest.raises(ValueError):
+        collect_alias_rows(big, max_rows=10)
+    assert len(collect_alias_rows(big, max_rows=100)) == 50
