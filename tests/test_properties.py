@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) over the PURE kernels — the
+functions every Spark stage delegates to. No SparkSession: these run in
+milliseconds and pin invariants examples can miss."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graphlab_spark.functions.embed import char_ngrams, embed_surface
+from graphlab_spark.functions.slug import slugify
+from graphlab_spark.operators.canonicalize import _driver_union_find
+from graphlab_spark.operators.extract import extract_text_bytes
+from graphlab_spark.operators.mentions import _norm_key
+
+TEXT = st.text(max_size=200)
+
+
+@given(TEXT)
+@settings(max_examples=300, deadline=None)
+def test_slugify_idempotent_and_charset(s):
+    out = slugify(s)
+    assert slugify(out) == out  # idempotent
+    assert all(c.islower() or c.isdigit() or c in "-_" for c in out)
+    assert not out.startswith("-") and not out.endswith("-")
+
+
+@given(TEXT)
+@settings(max_examples=300, deadline=None)
+def test_norm_key_idempotent_and_lower(s):
+    out = _norm_key(s)
+    assert _norm_key(out) == out
+    assert out == out.lower()
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_extract_deterministic_and_tag_free(b):
+    a = extract_text_bytes(b)
+    assert a == extract_text_bytes(b)  # deterministic
+    # block/script/style/comment structure never leaks through
+    assert "<script" not in a.lower() and "<style" not in a.lower()
+    assert "  " not in a  # horizontal whitespace collapsed
+    assert "\n\n" not in a  # blank runs collapsed
+
+
+@given(st.text(min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_embedding_unit_norm_and_deterministic(s):
+    import numpy as np
+
+    v = embed_surface(s)
+    assert v.shape == (64,)
+    n = float(np.linalg.norm(v))
+    assert n == 0.0 or abs(n - 1.0) < 1e-5
+    assert (embed_surface(s) == v).all()
+    assert len(char_ngrams(s)) >= 1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=60
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_union_find_canonical_is_component_min(pairs):
+    edges = [(f"n{a}", f"n{b}") for a, b in pairs if a != b]
+    mapping = dict(_driver_union_find(edges))
+    # root is a fixpoint and equals the min of its member set
+    members: dict[str, list[str]] = {}
+    for node, root in mapping.items():
+        members.setdefault(root, []).append(node)
+    for root, nodes in members.items():
+        assert mapping[root] == root
+        assert root == min(nodes + [root])
+    # connectivity: every edge's endpoints share a root
+    for a, b in edges:
+        assert mapping[a] == mapping[b]
