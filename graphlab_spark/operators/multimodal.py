@@ -90,6 +90,60 @@ def decode_media(media_df: DataFrame, use_real_decoder: bool = False) -> DataFra
     return media_df.mapInPandas(decode, MEDIA_META_SCHEMA)
 
 
+def resize_plan(meta_df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Aspect-preserving resize plumbing: target dims + scale as pure
+    column math (JVM-side, SQL-mirrorable). The actual pixel resample
+    belongs inside the same ``mapInPandas`` batch as the decode and is
+    stubbed for the same reason (``real_decode``): no image libs here —
+    the SHAPE of the computation (scale policy, rounding, min-1 clamp)
+    is the contract this pins.
+    """
+    scale = F.least(
+        F.lit(float(target_w)) / F.col("width"), F.lit(float(target_h)) / F.col("height")
+    )
+    return meta_df.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("out_w"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("out_h"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
+FEATURE_DIM = 8
+
+
+def extract_features(media_df: DataFrame) -> DataFrame:
+    """(doc_id, media_type, media) → (doc_id, features array<float>) via
+    ``mapInPandas`` — the feature-extraction plumbing (batch iterator,
+    Arrow schema, vectorized numpy) is real; the embedding itself is a
+    deterministic stub of the payload size (a real model hook would sit
+    exactly where the numpy expression is, cf. ``real_decode``)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = b["media"].map(len).to_numpy(dtype=np.int64)
+            M = ((n[:, None] * (np.arange(FEATURE_DIM)[None, :] + 1)) % 97) / 97.0
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "features": [row.astype(np.float32).tolist() for row in M],
+                }
+            )
+
+    return media_df.mapInPandas(feats, schema)
+
+
 def frame_sample(meta_df: DataFrame, every: int = 4) -> DataFrame:
     """Explode per-frame sample rows (frame_no 0, every, 2·every …) —
     the plumbing a video feature-extractor would fan out over."""

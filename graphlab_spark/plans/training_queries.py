@@ -262,6 +262,36 @@ def m02(spark, sf):
     )
 
 
+@q(
+    "m03_resize_plan",
+    "SELECT doc_id, media_type, width, height, "
+    "CAST(GREATEST(FLOOR(width * s), 1) AS INT) AS out_w, "
+    "CAST(GREATEST(FLOOR(height * s), 1) AS INT) AS out_h, "
+    "ROUND(s, 6) AS scale FROM ("
+    " SELECT doc_id, media_type, width, height, "
+    " LEAST(224.0 / width, 224.0 / height) AS s FROM ("
+    "  SELECT doc_id, media_type, CAST(64 + n_bytes % 192 AS INT) AS width, "
+    "  CAST(64 + n_bytes % 128 AS INT) AS height "
+    f"  FROM (SELECT doc_id, {_MEDIA_SQL_FIELDS} FROM documents)))",
+    "multimodal: aspect-preserving resize plumbing (scale policy, floor "
+    "rounding, min-1 clamp) — pixel resample stubbed like the decoder",
+)
+def m03(spark, sf):
+    meta = MM.decode_media(MM.attach_fake_media(_t(spark, sf, "documents")))
+    return MM.resize_plan(meta, 224, 224)
+
+
+@q(
+    "m04_media_features",
+    None,  # array<float> stub features — rows-only; determinism + shape
+    # pinned in tests/test_multimodal.py.
+    "multimodal: feature-extraction plumbing (mapInPandas batch iterator "
+    "→ array<float>); model stubbed deterministically",
+)
+def m04(spark, sf):
+    return MM.extract_features(MM.attach_fake_media(_t(spark, sf, "documents")))
+
+
 # ----------------------------------------------------------- skew handling
 
 @q(

@@ -53,3 +53,28 @@ def test_frame_sample_counts(spark, media):
         F.sum(F.floor((F.col("n_frames") - 1) / 4) + 1).alias("n")
     ).first().n
     assert frames.count() == expect
+
+
+def test_resize_plan_properties(spark):
+    from graphlab_spark.operators.multimodal import attach_fake_media, decode_media, resize_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    out = resize_plan(decode_media(attach_fake_media(docs)), 224, 224).collect()
+    assert out
+    for r in out:
+        assert 1 <= r.out_w <= 224 and 1 <= r.out_h <= 224
+        # the longer side lands on (near) the target — aspect preserved
+        assert max(r.out_w, r.out_h) >= 220
+
+
+def test_extract_features_deterministic_shape(spark):
+    from graphlab_spark.operators.multimodal import FEATURE_DIM, attach_fake_media, extract_features
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    media = attach_fake_media(docs)
+    a = {r.doc_id: tuple(r.features) for r in extract_features(media).collect()}
+    b = {r.doc_id: tuple(r.features) for r in extract_features(media).collect()}
+    assert a == b and len(a) == 100
+    for v in a.values():
+        assert len(v) == FEATURE_DIM
+        assert all(0.0 <= x < 1.0 for x in v)
