@@ -145,7 +145,11 @@ def ivf_topk(
     def probes_udf(vecs: pd.Series) -> pd.Series:
         M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
         sims = M @ bc.value.T
-        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        # STABLE sort: ties resolve to the lowest cell index, exactly like
+        # cell_udf's argmax — so a vector's own assigned cell is always
+        # probe[0] and the exact-duplicate guarantee holds even for
+        # pathological vectors tied with > n_probe centroids.
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([row.astype(int).tolist() for row in order])
 
     corpus = embeddings.select(

@@ -103,7 +103,7 @@ def upsert_keywords_non_null(
     """
     key = key or KEY
     value_cols = [c for c in existing.columns if c not in key]
-    if [c for c in incoming.columns if c not in key] != value_cols:
+    if {c for c in incoming.columns if c not in key} != set(value_cols):
         raise ValueError("existing/incoming must share the same columns")
     e = existing.select(*key, *[F.col(c).alias(f"_e_{c}") for c in value_cols])
     i = incoming.select(*key, *[F.col(c).alias(f"_i_{c}") for c in value_cols])

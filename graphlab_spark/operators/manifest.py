@@ -69,21 +69,56 @@ class Manifest:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
 
     def completed_partitions(self, run_id: str, stage: str) -> DataFrame:
-        """Completed buckets with their input fingerprints. Callers join on
+        """Completed buckets with their input fingerprints — the LATEST
+        completed row per bucket only (the table is append-only, and the
+        bucket's on-disk output corresponds to its newest run; matching
+        any historical fingerprint would wrongly validate a bucket whose
+        input was changed and then reverted). Callers join on
         (partition_id, input_fp) so a fingerprint mismatch reads as
         not-completed."""
+        from pyspark.sql import Window
+
         df = self.read()
         if "input_fp" not in df.columns:  # pre-fingerprint manifest
             df = df.withColumn("input_fp", F.lit(None).cast("long"))
+        w = Window.partitionBy("partition_id").orderBy(F.col("finished_at").desc())
         return (
             df.filter(
                 (F.col("run_id") == run_id)
                 & (F.col("stage") == stage)
                 & (F.col("status") == "completed")
             )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
             .select("partition_id", "input_fp")
-            .distinct()
         )
+
+    def stage_fingerprint(self, run_id: str, stages: list[str]) -> int:
+        """Order-independent fingerprint of the completed manifest rows of
+        ``stages`` — the transitive input identity for a downstream
+        global stage. Any upstream recompute appends rows, so the
+        fingerprint changes whenever upstream output may have changed
+        (including change-then-revert, which appends twice). Driver-side:
+        the manifest is tiny by construction."""
+        from hashlib import blake2b
+
+        df = self.read()
+        if "input_fp" not in df.columns:
+            df = df.withColumn("input_fp", F.lit(None).cast("long"))
+        rows = (
+            df.filter(
+                (F.col("run_id") == run_id)
+                & (F.col("stage").isin(stages))
+                & (F.col("status") == "completed")
+            )
+            .select("stage", "partition_id", "input_fp", "rows_in", "rows_out")
+            .collect()
+        )
+        h = blake2b(digest_size=8)
+        for r in sorted(str(tuple(row)) for row in rows):
+            h.update(r.encode("utf-8"))
+            h.update(b"\n")
+        return int.from_bytes(h.digest(), "big") % ((1 << 61) - 1)
 
     def pending_input(
         self, data: DataFrame, run_id: str, stage: str, key_col: str = "url"

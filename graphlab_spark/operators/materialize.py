@@ -58,14 +58,23 @@ def merge_into_sql(
         validate_output_name(part)
     for c in keys + columns:
         validate_output_name(c)
+    if not keys:
+        raise ValueError("merge requires at least one key column")
+    # INSERT must always carry the merge keys, whatever `columns` lists —
+    # a row inserted without its key could never match on a later merge.
+    all_cols = keys + [c for c in columns if c not in keys]
     on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c not in keys)
-    cols = ", ".join(columns)
-    vals = ", ".join(f"s.{c}" for c in columns)
+    cols = ", ".join(all_cols)
+    vals = ", ".join(f"s.{c}" for c in all_cols)
+    value_cols = [c for c in all_cols if c not in keys]
+    insert = f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    if not value_cols:
+        # key-only table: nothing to update on match — insert-if-absent
+        return f"MERGE INTO {target_table} t USING {source_view} s ON {on} {insert}"
+    sets = ", ".join(f"t.{c} = s.{c}" for c in value_cols)
     return (
         f"MERGE INTO {target_table} t USING {source_view} s ON {on} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
-        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        f"WHEN MATCHED THEN UPDATE SET {sets} {insert}"
     )
 
 

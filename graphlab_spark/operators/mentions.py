@@ -72,16 +72,29 @@ def _trim_span(text: str, start: int, end: int) -> int:
     return e
 
 
-def _first_token_gate(alias_map: dict[str, tuple[str, str]]) -> frozenset[str]:
-    """Set of first tokens of every alias key — an O(1) prescreen.
+_LEAD_W_RE = re.compile(r"\w+")
 
-    A token n-gram can only match an alias when its first word (which is
-    the token's lowercase form, minus at most one trailing dot for the
-    n=1 case) is an alias's first word — so tokens failing this set test
-    can skip the slice+normalize+lookup work entirely. Pure optimization:
-    provably no behavior change (the gate is a superset of matches).
+
+def _lead_word(s: str) -> str:
+    """Leading maximal word-character run of ``s`` lowered ('' if none)."""
+    m = _LEAD_W_RE.match(s.lower())
+    return m.group(0) if m else ""
+
+
+def _first_token_gate(alias_map: dict[str, tuple[str, str]]) -> frozenset[str]:
+    """Leading word-runs of every alias key — an O(1) prescreen.
+
+    Superset proof: a candidate n-gram key is ``lower(text[tok_start:…])``
+    and the token regex guarantees (a) the slice starts with the token's
+    characters and (b) the character after the token's end is non-word —
+    so the key's leading ``\\w+`` run equals the token's leading ``\\w+``
+    run exactly (``_norm_key`` only lowercases and strips a trailing dot,
+    which cannot touch the leading run). Gating the token's leading run
+    against the alias keys' leading runs therefore never drops a possible
+    match — including aliases with punctuation inside their first word
+    ('j. smith', 'acme, inc'), which a naive first-WORD gate would lose.
     """
-    return frozenset(k.split(" ")[0] for k in alias_map)
+    return frozenset(_lead_word(k.split(" ")[0]) for k in alias_map)
 
 
 def find_mentions(
@@ -105,7 +118,7 @@ def find_mentions(
     toks = [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
     i = 0
     while i < len(toks):
-        if toks[i][0].lower().rstrip(".") not in gate:
+        if _lead_word(toks[i][0]) not in gate:
             i += 1
             continue
         hit = None

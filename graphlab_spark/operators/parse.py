@@ -50,16 +50,19 @@ PARSED_SCHEMA = T.StructType(
 def parse_stage(
     spark: SparkSession,
     pages: DataFrame,
-    alias_map: dict[str, tuple[str, str]],
+    alias_map: dict[str, tuple[str, str]] | None = None,
     lang_filter: str | None = "en",
+    alias_bc=None,
 ) -> DataFrame:
     """pages → (url, warc_ts, lang, text, mentions[], triples[]).
 
     Per-url dedup (C13) runs first; the alias dictionary is broadcast
-    once (north_star C11). Triples are only extracted for ``lang_filter``
-    pages (same pre-UDF filter semantics as ``triples_stage``).
+    once (north_star C11) — long-running callers (streaming ingest) pass
+    a pre-created ``alias_bc`` so repeated invocations don't accumulate
+    broadcasts. Triples are only extracted for ``lang_filter`` pages
+    (same pre-UDF filter semantics as ``triples_stage``).
     """
-    bc = spark.sparkContext.broadcast(alias_map)
+    bc = alias_bc if alias_bc is not None else spark.sparkContext.broadcast(alias_map)
     deduped = dedup_pages(pages)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

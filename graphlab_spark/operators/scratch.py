@@ -42,6 +42,19 @@ def _cleanup() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def cleanup_prefix(prefix: str) -> None:
+    """Remove scratch subdirs whose name starts with ``prefix`` — for
+    long-running callers (streaming ingest) that would otherwise
+    accumulate per-batch scratch until interpreter exit. Only call once
+    every DataFrame read from those paths is fully consumed."""
+    if not _root:
+        return
+    root = _root[0]
+    for name in os.listdir(root):
+        if name.startswith(prefix):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
 def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
     """Write ``df`` to scratch parquet and read it back.
 

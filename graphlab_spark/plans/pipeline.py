@@ -151,18 +151,27 @@ def run_global_stage(
     stage: str,
     compute_fn: Callable[[], DataFrame],
     out_path: str,
+    input_fp: int | None = None,
 ) -> DataFrame:
-    """Resumable vocabulary-level stage (single logical partition). The
-    input fingerprint is inherited transitively: a global stage only runs
-    after its upstream url-keyed stages validated theirs."""
+    """Resumable vocabulary-level stage (single logical partition).
+
+    ``input_fp`` is the TRANSITIVE fingerprint of the upstream stages'
+    manifest rows (``Manifest.stage_fingerprint``): the stage only skips
+    when its latest completed row carries the SAME fingerprint — if any
+    upstream bucket recomputed (new manifest rows ⇒ new fingerprint),
+    this stage recomputes too, so a rerun against changed input can
+    never return stale vocabulary/graph output."""
     done = manifest.completed_partitions(run_id, stage)
+    if input_fp is not None:
+        done = done.filter(F.col("input_fp") == input_fp)
     if done.count() > 0 and _readable(spark, out_path):
         return spark.read.parquet(out_path)
     out_df = _pin(compute_fn(), f"global_{stage}")
     out_df.write.mode("overwrite").parquet(out_path)
     n = out_df.count()
     stats = spark.createDataFrame(
-        [(0, n, 0, n)], "partition_id int, rows_in long, input_fp long, rows_out long"
+        [(0, n, input_fp if input_fp is not None else 0, n)],
+        "partition_id int, rows_in long, input_fp long, rows_out long",
     )
     manifest.record_completed(run_id, stage, stats)
     return spark.read.parquet(out_path)
@@ -431,13 +440,18 @@ def run_pipeline(
     def _links() -> DataFrame:
         return _linking.link_surfaces(spark, all_surfaces(), aliases, link_threshold)
 
-    links = run_global_stage(spark, manifest, run_id, "linking", _links, f"{out_dir}/links")
+    url_stages = ["extract", "mentions", "triples"]
+    links = run_global_stage(
+        spark, manifest, run_id, "linking", _links, f"{out_dir}/links",
+        input_fp=manifest.stage_fingerprint(run_id, url_stages),
+    )
 
     def _entity_map() -> DataFrame:
         return _entity_map_distributed(spark, all_surfaces(), links, aliases, jaccard_dist)
 
     entity_map = run_global_stage(
-        spark, manifest, run_id, "canonicalize", _entity_map, f"{out_dir}/entity_map"
+        spark, manifest, run_id, "canonicalize", _entity_map, f"{out_dir}/entity_map",
+        input_fp=manifest.stage_fingerprint(run_id, url_stages + ["linking"]),
     )
 
     # --- materialize nodes/edges with canonical ids
@@ -447,8 +461,13 @@ def run_pipeline(
     def _edges() -> DataFrame:
         return _build_outputs(mentions, triples, entity_map)[1]
 
-    nodes = run_global_stage(spark, manifest, run_id, "nodes", _nodes, f"{out_dir}/nodes")
-    edges = run_global_stage(spark, manifest, run_id, "edges", _edges, f"{out_dir}/edges")
+    out_fp = manifest.stage_fingerprint(run_id, url_stages + ["linking", "canonicalize"])
+    nodes = run_global_stage(
+        spark, manifest, run_id, "nodes", _nodes, f"{out_dir}/nodes", input_fp=out_fp
+    )
+    edges = run_global_stage(
+        spark, manifest, run_id, "edges", _edges, f"{out_dir}/edges", input_fp=out_fp
+    )
 
     return {
         "docs": docs,

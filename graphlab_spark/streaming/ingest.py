@@ -46,6 +46,7 @@ def start_ingest(
     out_dir: str,
     checkpoint_dir: str,
     link_threshold: float = _linking.DEFAULT_THRESHOLD,
+    jaccard_dist: float = _canon.DEFAULT_JACCARD_DIST,
 ):
     """pages stream → foreachBatch(fused parse → link → MERGE nodes/edges).
 
@@ -53,58 +54,82 @@ def start_ingest(
     awaiting termination after files stop arriving, or keep it running for
     continuous ingest. Each batch is one manifest-equivalent unit: the
     streaming checkpoint records which files were processed.
+
+    Built for continuous operation: the alias dictionary is broadcast
+    ONCE per query (not per batch), each batch's scratch parquet is
+    reclaimed after its MERGE commits, and the batch vocabulary uses the
+    same size-adaptive switch as the batch pipeline (driver fast path up
+    to the ceiling, distributed above or on clustered input).
     """
-    from graphlab_spark.plans.pipeline import vocab_entity_map_small
+    from graphlab_spark.plans.pipeline import (
+        _entity_map_distributed,
+        _vocab_driver_max,
+        vocab_entity_map_small,
+    )
 
     alias_rows = _linking.collect_alias_rows(aliases)
     alias_map = build_alias_map(iter(alias_rows))
+    alias_bc = spark.sparkContext.broadcast(alias_map)
+    vmax = _vocab_driver_max()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         from graphlab_spark.operators.parse import mentions_view, triples_view
-        from graphlab_spark.operators.scratch import materialize
+        from graphlab_spark.operators.scratch import cleanup_prefix, materialize
 
-        parsed = materialize(
-            parse_stage(spark, batch_df, alias_map), f"stream_batch_{batch_id}"
-        )
-        mentions = mentions_view(parsed)
-        triples = triples_view(parsed)
-        surfaces_plan = (
-            mentions.select("surface")
-            .unionByName(triples.select(F.col("subj").alias("surface")))
-            .unionByName(triples.select(F.col("obj").alias("surface")))
-            .distinct()
-        )
         try:
-            surfaces = [r["surface"] for r in surfaces_plan.collect()]
-            _, entity_map = vocab_entity_map_small(
-                spark, surfaces, alias_rows, link_threshold, jaccard_dist=0.28
+            parsed = materialize(
+                parse_stage(spark, batch_df, alias_bc=alias_bc),
+                f"stream_batch_{batch_id}",
             )
-        except _canon.FastPathOverflow:  # clustered batch vocabulary
-            from graphlab_spark.plans.pipeline import _entity_map_distributed
-
-            sdf = materialize(surfaces_plan, f"stream_surfaces_{batch_id}")
-            links = _linking.link_surfaces(spark, sdf, aliases, link_threshold)
-            entity_map = _entity_map_distributed(spark, sdf, links, aliases, 0.28)
-        linked = mentions.join(entity_map, "surface").select(
-            F.col("entity_id").alias("canonical_id"), "surface", "m_type"
-        )
-        nodes = _mat.build_nodes(linked)
-        t = (
-            triples.join(entity_map.withColumnRenamed("surface", "subj"), "subj")
-            .withColumnRenamed("entity_id", "subj_id")
-            .join(entity_map.withColumnRenamed("surface", "obj"), "obj")
-            .withColumnRenamed("entity_id", "obj_id")
-        )
-        edges = _mat.build_edges(t.select("subj_id", "pred", "obj_id", "url", "conf"))
-        # Idempotent MERGE (B1): a replayed batch rewrites the same rows.
-        # Cross-batch aggregation: node/edge rows are replaced per key —
-        # within one increment flow that is the latest-wins contract; a
-        # cumulative count would instead MERGE with additive update (one
-        # MERGE INTO ... UPDATE SET n = t.n + s.n on Iceberg).
-        _mat.merge_upsert(spark, f"{out_dir}/nodes", nodes, ["id"])
-        _mat.merge_upsert(spark, f"{out_dir}/edges", edges, ["src", "pred", "dst"])
+            mentions = mentions_view(parsed)
+            triples = triples_view(parsed)
+            surfaces_plan = (
+                mentions.select("surface")
+                .unionByName(triples.select(F.col("subj").alias("surface")))
+                .unionByName(triples.select(F.col("obj").alias("surface")))
+                .distinct()
+            )
+            entity_map = None
+            head = surfaces_plan.limit(vmax + 1).collect()
+            if len(head) <= vmax:
+                try:
+                    _, entity_map = vocab_entity_map_small(
+                        spark, [r["surface"] for r in head], alias_rows,
+                        link_threshold, jaccard_dist,
+                    )
+                except _canon.FastPathOverflow:  # clustered batch vocabulary
+                    entity_map = None
+            if entity_map is None:
+                sdf = materialize(surfaces_plan, f"stream_batch_{batch_id}_surfaces")
+                links = _linking.link_surfaces(spark, sdf, aliases, link_threshold)
+                entity_map = _entity_map_distributed(
+                    spark, sdf, links, aliases, jaccard_dist
+                )
+            linked = mentions.join(entity_map, "surface").select(
+                F.col("entity_id").alias("canonical_id"), "surface", "m_type"
+            )
+            nodes = _mat.build_nodes(linked)
+            t = (
+                triples.join(entity_map.withColumnRenamed("surface", "subj"), "subj")
+                .withColumnRenamed("entity_id", "subj_id")
+                .join(entity_map.withColumnRenamed("surface", "obj"), "obj")
+                .withColumnRenamed("entity_id", "obj_id")
+            )
+            edges = _mat.build_edges(t.select("subj_id", "pred", "obj_id", "url", "conf"))
+            # Idempotent MERGE (B1): a replayed batch rewrites the same rows.
+            # Cross-batch aggregation: node/edge rows are replaced per key —
+            # within one increment flow that is the latest-wins contract; a
+            # cumulative count would instead MERGE with additive update (one
+            # MERGE INTO ... UPDATE SET n = t.n + s.n on Iceberg).
+            _mat.merge_upsert(spark, f"{out_dir}/nodes", nodes, ["id"])
+            _mat.merge_upsert(spark, f"{out_dir}/edges", edges, ["src", "pred", "dst"])
+        finally:
+            # reclaim this batch's scratch — a continuous query must not
+            # accumulate tmpfs until interpreter exit
+            cleanup_prefix(f"stream_batch_{batch_id}")
+            cleanup_prefix("merge_upsert")
 
     return (
         pages_stream.writeStream.foreachBatch(process_batch)

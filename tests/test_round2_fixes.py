@@ -263,3 +263,83 @@ def test_alias_collect_ceiling_raises(spark):
     with pytest.raises(ValueError):
         collect_alias_rows(big, max_rows=10)
     assert len(collect_alias_rows(big, max_rows=100)) == 50
+
+
+# ----------------------------- review findings (round-2 self-review)
+
+def test_gate_keeps_punctuated_aliases():
+    """Aliases whose first word carries punctuation ('j. smith',
+    'acme, inc') must still match through the first-token gate."""
+    from graphlab_spark.operators.mentions import find_mentions
+
+    amap = {
+        "j. smith": ("p:js", "PERSON"),
+        "acme, inc": ("o:ai", "ORG"),
+        "acme systems": ("o:as", "ORG"),
+    }
+    text = "Yesterday J. Smith met with Acme, Inc about Acme Systems."
+    got = {(m["surface"], m["m_type"]) for m in find_mentions(text, amap)}
+    assert ("J. Smith", "PERSON") in got
+    assert ("Acme, Inc", "ORG") in got
+    assert ("Acme Systems", "ORG") in got
+
+
+def test_global_stages_recompute_when_upstream_input_changed(spark, tmp_path):
+    """Changing the corpus under the same run_id must flow through to the
+    FINAL graph tables — global stages key on the transitive fingerprint
+    of upstream manifest rows, not mere existence of a completed row."""
+    from graphlab_spark.plans.pipeline import run_pipeline
+
+    out = str(tmp_path / "gfp")
+    aliases = corpus.alias_df(spark)
+    r1 = run_pipeline(spark, corpus.generate_pages(spark, 80), aliases, out, run_id="r")
+    e1 = {tuple(r) for r in r1["edges"].select("src", "pred", "dst").collect()}
+    # different input, SAME run_id/out_dir: more pages → more edges
+    r2 = run_pipeline(spark, corpus.generate_pages(spark, 140), aliases, out, run_id="r")
+    e2 = {tuple(r) for r in r2["edges"].select("src", "pred", "dst").collect()}
+    fresh = run_pipeline(
+        spark, corpus.generate_pages(spark, 140), aliases, str(tmp_path / "fresh")
+    )
+    ef = {tuple(r) for r in fresh["edges"].select("src", "pred", "dst").collect()}
+    assert e2 == ef, "resumed-with-changed-input edges must equal a fresh run"
+    assert e2 != e1
+
+
+def test_bucket_revert_recomputes(spark, tmp_path):
+    """X → X' → X again under one run_id: the append-only manifest holds a
+    historical fingerprint for X, but only the LATEST row counts — the
+    final output must reflect X, not the X'-derived parquet."""
+    out = str(tmp_path / "revert")
+    manifest = Manifest(spark, f"{out}/manifest")
+    fn = lambda d: extract_stage(d).select("url", "warc_ts", "lang", "text")  # noqa: E731
+    for text in ["Version A.", "Version B.", "Version A."]:
+        r = run_stage(
+            spark, manifest, "r", "e", _mini_pages(spark, 30, text), "url", fn,
+            f"{out}/docs", fp_cols=["url", "html"],
+        )
+    assert r.filter(F.col("text") == "Version A.").count() == 30
+    assert r.filter(F.col("text") == "Version B.").count() == 0
+
+
+def test_merge_into_sql_edge_cases():
+    # key-only table: no UPDATE clause, insert-if-absent only
+    sql = merge_into_sql("t", "s", ["id"], ["id"])
+    assert "UPDATE" not in sql and "WHEN NOT MATCHED THEN INSERT (id)" in sql
+    # keys omitted from columns must still be inserted
+    sql = merge_into_sql("t", "s", ["id"], ["val"])
+    assert "INSERT (id, val) VALUES (s.id, s.val)" in sql
+    with pytest.raises(ValueError):
+        merge_into_sql("t", "s", [], ["val"])
+
+
+def test_upsert_tolerates_column_order(spark):
+    from graphlab_spark.operators.keywords import upsert_keywords_non_null
+
+    existing = spark.createDataFrame(
+        [("s", "a", 0.5, "user")], "session_id string, term string, weight double, source string"
+    )
+    incoming = spark.createDataFrame(
+        [("s", "a", "ai", None)], "session_id string, term string, source string, weight double"
+    )
+    out = upsert_keywords_non_null(existing, incoming).collect()[0]
+    assert out.weight == 0.5 and out.source == "ai"

@@ -64,3 +64,21 @@ def test_streaming_increments_match_batch(spark, tmp_path):
     q2.awaitTermination(120)
     after = sorted(tuple(r) for r in spark.read.parquet(f"{out_dir}/edges").collect())
     assert before == after
+
+
+def test_streaming_reclaims_scratch_per_batch(spark, tmp_path):
+    """Continuous ingest must not accumulate per-batch scratch parquet."""
+    import glob
+
+    from graphlab_spark.operators.scratch import scratch_dir
+
+    in_dir = str(tmp_path / "in2")
+    os.makedirs(in_dir)
+    _drop_increment(spark, in_dir, 0, 40)
+    q = start_ingest(
+        spark, read_pages_stream(spark, in_dir), corpus.alias_df(spark),
+        str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(180)
+    leftovers = glob.glob(f"{scratch_dir()}/stream_batch_*")
+    assert leftovers == [], leftovers
