@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from graphlab_spark.plans import relational  # noqa: E402,F401  (fills REGISTRY)
+from graphlab_spark.plans import event_queries  # noqa: E402,F401  (fills REGISTRY)
+from graphlab_spark.plans import relational  # noqa: E402,F401
 from graphlab_spark.plans import training_queries  # noqa: E402,F401
 from graphlab_spark.plans.relational import REGISTRY  # noqa: E402
 

@@ -1,0 +1,103 @@
+"""Event-time analytics over the ``events`` table: tumbling-window
+aggregation, session windows, and JSON-props extraction.
+
+Reference parity: the reference tracks per-lab processing jobs with
+created/started/finished timestamps and per-job progress counters
+(``backend/app/models/processing_job.py:14-30``) and surfaces activity
+summaries over them; these operators are the Spark-native generalization
+— event-time rollups a large-scale ingest pipeline needs (hourly
+throughput, per-user crawl sessions, typed metadata pulled out of a JSON
+props column).
+
+Spark-first posture: every plan here is pure DataFrame algebra —
+``F.window`` / ``F.session_window`` / ``get_json_object`` are JVM-side
+and whole-stage-codegen'd; there is no Python in the row path. The same
+plan functions serve batch queries (DuckDB-oracled) and Structured
+Streaming (``streaming/rollup.py`` adds the watermark).
+
+Scale: one hash-aggregate shuffle keyed by (window, event_type) — at
+1000 executors the map-side partial aggregation collapses each
+partition's rows to one row per (hour, type) before the exchange, so
+shuffle volume is O(hours × types), independent of input rows.
+``session_window`` shuffles by user_id; skewed users are bounded by the
+gap parameter (a user's events merge into few sessions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def windowed_counts(
+    events: DataFrame, width: str = "1 hour", rounded: bool = True
+) -> DataFrame:
+    """Tumbling-window throughput rollup: (window_start, event_type) →
+    n_events, sum_value. Epoch-aligned windows (``F.window`` default), so
+    ``width='1 hour'`` matches ``date_trunc('hour', ts)`` exactly.
+
+    ``rounded=False`` keeps the exact double sum — required by the
+    additive streaming rollup, which must not round per-batch partials
+    (rounding is only stable applied once, at the end).
+    """
+    sum_v = F.sum("value")
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(sum_v, 2) if rounded else sum_v).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", rounded: bool = True
+) -> DataFrame:
+    """Per-user session windows with inactivity gap ``gap``.
+
+    Spark merge semantics (pinned by test_events.py): an event extends
+    the current session when its ts is <= previous ts + gap (INCLUSIVE
+    boundary — two events exactly one gap apart share a session), and
+    session_end = last event ts + gap.
+    """
+    sum_v = F.sum("value")
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(sum_v, 2) if rounded else sum_v).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT).alias("session_start"),
+            F.date_format(F.col("w.end"), TS_FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def props_stats(events: DataFrame, json_path: str = "$.k") -> DataFrame:
+    """Typed extraction from the JSON ``props`` column → per-type stats.
+
+    ``get_json_object`` is a JVM expression (codegen'd, no UDF); at scale
+    the extraction happens during the scan projection, before the single
+    aggregate shuffle."""
+    k = F.get_json_object("props", json_path).cast("int")
+    return (
+        events.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("_k"), 2).alias("avg_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )

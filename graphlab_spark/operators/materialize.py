@@ -47,11 +47,15 @@ def merge_into_sql(
     source_view: str,
     keys: list[str],
     columns: list[str],
+    additive: bool = False,
 ) -> str:
     """Generate the Iceberg/Delta ``MERGE INTO`` statement equivalent to
     :func:`merge_upsert` (the production sink path; parquet tests use the
     anti-join emulation below). Names are validated (B6) before they are
     interpolated — this is the injection surface the reference guards.
+
+    ``additive=True`` emits the cumulative-rollup form (``UPDATE SET
+    t.c = t.c + s.c``) matching :func:`merge_upsert_additive`.
     """
     validate_output_name(source_view)
     for part in target_table.split("."):
@@ -71,7 +75,10 @@ def merge_into_sql(
     if not value_cols:
         # key-only table: nothing to update on match — insert-if-absent
         return f"MERGE INTO {target_table} t USING {source_view} s ON {on} {insert}"
-    sets = ", ".join(f"t.{c} = s.{c}" for c in value_cols)
+    sets = ", ".join(
+        (f"t.{c} = t.{c} + s.{c}" if additive else f"t.{c} = s.{c}")
+        for c in value_cols
+    )
     return (
         f"MERGE INTO {target_table} t USING {source_view} s ON {on} "
         f"WHEN MATCHED THEN UPDATE SET {sets} {insert}"
@@ -149,6 +156,36 @@ def merge_upsert(
     # Materialize off-heap before overwriting so we never read-overwrite
     # the same path in one plan (and never pin driver heap à la
     # localCheckpoint).
+    from graphlab_spark.operators.scratch import materialize
+
+    merged = materialize(merged, "merge_upsert")
+    merged.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def merge_upsert_additive(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """Cumulative MERGE into a parquet rollup table: WHEN MATCHED →
+    ``t.c = t.c + s.c`` for every ``add_cols`` column, WHEN NOT MATCHED →
+    insert. The Iceberg statement is ``merge_into_sql(..., additive=True)``;
+    this parquet emulation is union + one hash aggregate on ``keys`` —
+    map-side partial agg collapses each partition to one row per key
+    before the single exchange, so shuffle volume is O(distinct keys)
+    regardless of update volume. Duplicate keys WITHIN ``updates`` fold
+    additively too (same contract as MERGE over a pre-aggregated source).
+    """
+    validate_output_name(os.path.basename(os.path.normpath(path)))
+    for c in keys + add_cols:
+        validate_output_name(c)
+    updates = updates.select(*keys, *add_cols)
+    if _table_exists(spark, path):
+        updates = spark.read.parquet(path).select(*keys, *add_cols).unionByName(updates)
+    merged = updates.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in add_cols])
     from graphlab_spark.operators.scratch import materialize
 
     merged = materialize(merged, "merge_upsert")

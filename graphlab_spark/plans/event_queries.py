@@ -1,0 +1,63 @@
+"""Event-time query surface over the ``events`` testdata table — each
+entry pairs the DataFrame plan (operators/events.py) with its exact
+DuckDB oracle.
+
+Oracle notes:
+- e01: epoch-aligned 1-hour ``F.window`` ≡ ``date_trunc('hour', ts)``.
+- e02: Spark ``session_window`` merges on ts <= prev + gap (INCLUSIVE —
+  pinned by test_events.py::test_session_boundary_semantics), expressed
+  in SQL as the classic gaps-and-islands lag/cumsum.
+- Timestamps render as strings on both sides (driver contract);
+  ``strftime`` and ``date_format`` both floor sub-second digits.
+"""
+
+from __future__ import annotations
+
+from graphlab_spark.operators import events as EV
+from graphlab_spark.plans.relational import _t, q
+
+
+@q(
+    "e01_windowed_event_counts",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+    "event-time tumbling-window rollup (ref processing_job.py:14-30 timestamps)",
+)
+def e01(spark, sf):
+    return EV.windowed_counts(_t(spark, sf, "events"))
+
+
+@q(
+    "e02_user_sessions",
+    "WITH flagged AS ("
+    "  SELECT user_id, ts, value,"
+    "    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+    "              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s"
+    "  FROM events"
+    "), sess AS ("
+    "  SELECT user_id, ts, value,"
+    "    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts"
+    "                     ROWS UNBOUNDED PRECEDING) AS sid"
+    "  FROM flagged) "
+    "SELECT user_id,"
+    " strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,"
+    " strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,"
+    " COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+    "FROM sess GROUP BY user_id, sid",
+    "per-user session windows, 30-min inactivity gap",
+)
+def e02(spark, sf):
+    return EV.sessionize(_t(spark, sf, "events"))
+
+
+@q(
+    "e03_props_json_stats",
+    "SELECT event_type, COUNT(*) AS n,"
+    " ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 2) AS avg_k,"
+    " MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k "
+    "FROM events GROUP BY event_type",
+    "typed JSON-props extraction + per-type stats (codegen get_json_object)",
+)
+def e03(spark, sf):
+    return EV.props_stats(_t(spark, sf, "events"))

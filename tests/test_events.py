@@ -1,0 +1,80 @@
+"""Event-time analytics semantics (operators/events.py). The sf0.01
+oracle equivalence (e01/e02/e03) is the driver's CORRECTNESS gate; these
+tests pin the SEMANTICS the oracles were written against."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from graphlab_spark.operators import events as EV
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, uid, et, v, p) for i, (ts, uid, et, v, p) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_session_boundary_semantics(spark):
+    """Pin the inclusive-gap merge rule the e02 oracle encodes: events
+    EXACTLY one gap apart share a session; one microsecond beyond splits.
+    session_end = last event ts + gap."""
+    rows = [
+        (T0, 1, "a", 1.0, "{}"),
+        (T0 + dt.timedelta(minutes=30), 1, "a", 1.0, "{}"),  # exactly gap
+        (T0, 2, "a", 1.0, "{}"),
+        (T0 + dt.timedelta(minutes=30, microseconds=1), 2, "a", 1.0, "{}"),
+    ]
+    out = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in EV.sessionize(_events(spark, rows)).collect()
+    }
+    assert (1, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 2) in out
+    assert sum(1 for u, *_ in out if u == 2) == 2  # split into two sessions
+
+
+def test_windowed_counts_epoch_alignment(spark):
+    """1-hour F.window starts == date_trunc('hour') for every event —
+    the identity the e01 oracle relies on."""
+    rows = [
+        (T0 + dt.timedelta(minutes=m), 1, "click", 0.5, "{}")
+        for m in (0, 59, 60, 61, 125)
+    ]
+    got = {
+        (r.window_start, r.n_events)
+        for r in EV.windowed_counts(_events(spark, rows)).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", 2),
+        ("2024-01-01 01:00:00", 2),
+        ("2024-01-01 02:00:00", 1),
+    }
+
+
+def test_props_stats_null_safe(spark):
+    """Missing/corrupt JSON contributes NULL to avg/max but still counts
+    in n (AVG ignores nulls on both engines)."""
+    rows = [
+        (T0, 1, "view", 0.0, '{"k": 10}'),
+        (T0, 1, "view", 0.0, '{"k": 20}'),
+        (T0, 1, "view", 0.0, "not json"),
+        (T0, 1, "view", 0.0, '{"other": 1}'),
+    ]
+    r = EV.props_stats(_events(spark, rows)).collect()[0]
+    assert (r.n, r.avg_k, r.max_k) == (4, 15.0, 20)
+
+
+def test_windowed_counts_plan_is_partial_agg(spark):
+    """Scale posture: the rollup must partial-aggregate map-side (one
+    exchange keyed by window+type, count/sum combined before shuffle)."""
+    plan = EV.windowed_counts(
+        _events(spark, [(T0, 1, "a", 1.0, "{}")])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert plan.lower().count("exchange") <= 2  # agg exchange (+AQE read)
