@@ -52,6 +52,7 @@ def main() -> None:
     from graphlab_spark.operators import dedup as DD
     from graphlab_spark.operators.extract import extract_stage
     from graphlab_spark.operators.triples import triples_stage
+    from graphlab_spark.plans import event_queries  # noqa: F401  (fills REGISTRY)
     from graphlab_spark.plans.pipeline import run_pipeline_in_memory
     from graphlab_spark.plans.relational import REGISTRY
     from graphlab_spark.functions import textstats as TS
@@ -66,10 +67,23 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
+    # Untimed warm-up at full size: the first heavy job in a fresh JVM
+    # pays one-off JIT/codegen/heap-growth cost (SURVEY §8 — up to 10x);
+    # without this the first timed query absorbs it and round-over-round
+    # per-query numbers measure JVM state, not the plan. (Added r02: r01's
+    # q1 line included warm-up.)
+    _count(REGISTRY["tpch_q1_pricing_summary"].fn(spark, sf_dir))
+
     # --- relational headliners
     for name in ["tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
                  "tpch_q5_local_supplier_volume"]:
         timed(name, lambda n=name: _count(REGISTRY[n].fn(spark, sf_dir)))
+
+    # --- event-time rollup (e01) over the events table
+    timed(
+        "event_rollup",
+        lambda: _count(REGISTRY["e01_windowed_event_counts"].fn(spark, sf_dir)),
+    )
 
     # --- training-data ops at full table scale
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
