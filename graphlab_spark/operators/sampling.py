@@ -1,0 +1,115 @@
+"""Training-data curation operators: deterministic stratified sampling
+and token-budget shard packing over the ``documents`` table.
+
+Both are standard stages of an LLM pre-training data pipeline (data
+mixing across languages/sources; packing documents into fixed-token
+training chunks). Both are pure DataFrame algebra, engine-portable, and
+designed for the 100-TB layout:
+
+- sampling is a stateless per-row filter on an md5-derived key — no
+  shuffle at all, fully pushed into the scan stage, reproducible across
+  engines and runs (no ``rand()``);
+- packing windows are partitioned by a hash bucket, so the cumulative
+  sums run as ~n_buckets independent sorted windows — NEVER one global
+  window (a single-partition sort is the classic 100-TB killer for
+  naive cumsum packing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphlab_spark.functions.textstats import token_count_col
+
+# 4 hex digits = 65536 strata of the md5 key space. Lowercase fixed-width
+# hex compares lexically == numerically, which is what makes the same
+# threshold literal work in Spark AND DuckDB (both emit lowercase hex).
+_HEX_SPACE = 16**4
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """Sampling rate in [0,1] → 4-hex-digit threshold string such that
+    P[substr(md5(key),1,4) < threshold] == round(rate * 65536) / 65536."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    n = round(rate * _HEX_SPACE)
+    if n >= _HEX_SPACE:
+        # 'g' sorts after every hex digit in ASCII → keep-all sentinel
+        # that stays a plain string comparison on both engines
+        return "g"
+    return format(n, "04x")
+
+
+def sample_key_col(id_col: str = "doc_id", salt: str = "s42") -> Column:
+    """Deterministic per-row sample key: first 4 hex chars of
+    md5(id || ':' || salt). Identical expression exists in ANSI SQL
+    (see training_queries.t05) — md5 is bit-identical across engines."""
+    return F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 4
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "s42",
+) -> DataFrame:
+    """Keep each row of stratum s with probability ``rates[s]`` (strata
+    absent from ``rates`` are dropped) — deterministically: the decision
+    depends only on (id, salt), so reruns, retries, and other engines
+    reproduce the exact same sample (no ``rand()``; a nondeterministic
+    sample breaks retry-safety the same way nondeterministic salting
+    does — see operators/skew.py).
+
+    Scale: a scan-stage filter; no shuffle, no state. Changing the mix
+    (data-mixture reweighting between training runs) only changes
+    literal thresholds, and lowering a rate yields a SUBSET of the
+    higher-rate sample (nested samples — useful for ablations).
+    """
+    key = sample_key_col(id_col, salt)
+    thresh = F.lit(None).cast("string")
+    for stratum, rate in rates.items():
+        thresh = F.when(
+            F.col(stratum_col) == stratum, F.lit(rate_to_hex_threshold(rate))
+        ).otherwise(thresh)
+    return docs.filter(key < thresh)
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget_tokens: int = 4096,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training chunks.
+
+    Greedy contiguous packing per hash bucket: docs are ordered by id
+    within ``bucket = id % n_buckets``; a doc belongs to chunk
+    ``floor(cumulative_tokens_before_it / budget)``. A doc straddling a
+    boundary is assigned to the chunk where it starts (standard greedy
+    semantics: every chunk's token sum is < budget + its last doc).
+
+    Scale: ``n_buckets`` independent window sorts (set n_buckets ≈
+    cluster cores at 100 TB) — cumsum never runs as one global window.
+    Output chunk ids are (bucket, chunk_id) pairs, deterministic.
+    """
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            (F.col(id_col) % n_buckets).alias("bucket"),
+            token_count_col().alias("n_tokens"),
+        )
+        .withColumn(
+            "chunk_id",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget_tokens),
+        )
+        .select(id_col, "bucket", "chunk_id", "n_tokens")
+    )

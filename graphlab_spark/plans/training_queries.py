@@ -16,6 +16,7 @@ from graphlab_spark.functions import textstats as TS
 from graphlab_spark.operators import ann as ANN
 from graphlab_spark.operators import dedup as DD
 from graphlab_spark.operators import multimodal as MM
+from graphlab_spark.operators import sampling as SMP
 from graphlab_spark.plans.relational import _t, q
 
 REPO_FIXTURES = "/root/repo/fixtures"
@@ -290,6 +291,43 @@ def m03(spark, sf):
 )
 def m04(spark, sf):
     return MM.extract_features(MM.attach_fake_media(_t(spark, sf, "documents")))
+
+
+# ------------------------------------------------- training-data curation
+
+# Data-mixture rates for t05 (language-stratified deterministic sample).
+_T05_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
+_T05_CASE = "CASE lang " + " ".join(
+    f"WHEN '{s}' THEN '{SMP.rate_to_hex_threshold(r)}'" for s, r in _T05_RATES.items()
+) + " END"
+
+
+@q(
+    "t05_stratified_sample",
+    "SELECT doc_id, lang FROM documents "
+    f"WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 4) < {_T05_CASE}",
+    "deterministic per-language sampling: md5-threshold, no rand(), "
+    "engine-portable and retry-safe; nested across rates",
+)
+def t05(spark, sf):
+    return SMP.stratified_sample(_t(spark, sf, "documents"), _T05_RATES).select(
+        "doc_id", "lang"
+    )
+
+
+@q(
+    "t06_token_budget_packing",
+    "WITH t AS (SELECT doc_id, doc_id % 64 AS bucket, "
+    f"{TS.TOKEN_COUNT_SQL} AS n_tokens FROM documents) "
+    "SELECT doc_id, bucket, "
+    "CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id "
+    "ROWS UNBOUNDED PRECEDING) - n_tokens) / 4096.0) AS BIGINT) AS chunk_id, "
+    "n_tokens FROM t",
+    "token-budget training-chunk assignment: greedy contiguous packing "
+    "per hash bucket (parallel windows, never one global sort)",
+)
+def t06(spark, sf):
+    return SMP.pack_shards(_t(spark, sf, "documents"), budget_tokens=4096)
 
 
 # ----------------------------------------------------------- skew handling

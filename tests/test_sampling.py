@@ -1,0 +1,78 @@
+"""Training-data curation semantics (operators/sampling.py): the sf0.01
+oracle equivalence (t05/t06) is the driver gate; these pin the
+statistical and structural properties the oracles cannot express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphlab_spark.operators import sampling as SMP
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "de").otherwise("en").alias("lang"),
+        F.concat(F.lit("tok "), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+
+
+def test_threshold_edges():
+    assert SMP.rate_to_hex_threshold(0.0) == "0000"  # keeps nothing
+    assert SMP.rate_to_hex_threshold(1.0) == "g"  # sorts after 'ffff'
+    assert SMP.rate_to_hex_threshold(0.5) == "8000"
+    with pytest.raises(ValueError):
+        SMP.rate_to_hex_threshold(1.5)
+
+
+def test_rates_hold_and_unlisted_strata_drop(spark, docs):
+    out = SMP.stratified_sample(docs, {"en": 0.5, "de": 0.1})
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["en"] / 15_000 - 0.5) < 0.02
+    assert abs(got["de"] / 5_000 - 0.1) < 0.02
+    assert SMP.stratified_sample(docs, {"de": 0.1}).filter(F.col("lang") == "en").count() == 0
+
+
+def test_samples_are_deterministic_and_nested(spark, docs):
+    lo = {r.doc_id for r in SMP.stratified_sample(docs, {"en": 0.1, "de": 0.1}).collect()}
+    hi = {r.doc_id for r in SMP.stratified_sample(docs, {"en": 0.5, "de": 0.5}).collect()}
+    again = {r.doc_id for r in SMP.stratified_sample(docs, {"en": 0.1, "de": 0.1}).collect()}
+    assert lo == again  # rerun reproduces exactly (no rand())
+    assert lo <= hi  # lower rate is a subset — nested samples for ablations
+    # different salt decorrelates
+    other = {r.doc_id for r in SMP.stratified_sample(docs, {"en": 0.1, "de": 0.1}, salt="x").collect()}
+    assert other != lo
+
+
+def test_sample_plan_has_no_shuffle(spark, docs):
+    plan = (
+        SMP.stratified_sample(docs, {"en": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # scan-stage filter, stateless
+
+
+def test_packing_invariants(spark, docs):
+    budget = 50
+    out = SMP.pack_shards(docs, budget_tokens=budget, n_buckets=8).collect()
+    assert len(out) == 20_000
+    by_chunk: dict[tuple, list] = {}
+    for r in out:
+        by_chunk.setdefault((r.bucket, r.chunk_id), []).append(r)
+    for (_b, cid), rows in by_chunk.items():
+        toks = sum(r.n_tokens for r in rows)
+        # greedy bound: all but the straddling last doc fit the budget
+        assert toks - max(r.n_tokens for r in rows) < budget
+        assert cid >= 0
+    # chunk ids are contiguous per bucket (no holes)
+    for b in range(8):
+        cids = sorted({c for (bb, c) in by_chunk if bb == b})
+        assert cids == list(range(len(cids)))
+
+
+def test_packing_deterministic(spark, docs):
+    a = sorted(map(tuple, SMP.pack_shards(docs, 50, 8).collect()))
+    b = sorted(map(tuple, SMP.pack_shards(docs, 50, 8).collect()))
+    assert a == b
