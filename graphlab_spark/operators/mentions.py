@@ -76,9 +76,25 @@ _LEAD_W_RE = re.compile(r"\w+")
 
 
 def _lead_word(s: str) -> str:
-    """Leading maximal word-character run of ``s`` lowered ('' if none)."""
+    """Leading maximal word-character run of ``s`` lowered ('' if none).
+    General form — used at gate-BUILD time on alias keys, which may
+    contain arbitrary punctuation."""
     m = _LEAD_W_RE.match(s.lower())
     return m.group(0) if m else ""
+
+
+def _lead_word_token(s: str) -> str:
+    """`_lead_word` fast path for the scan hot loop (once per token).
+    Valid ONLY for ``_TOKEN_RE`` matches: their charset is
+    ``[A-Za-z][\\w.&'-]*``, so the only possible non-``\\w`` characters
+    are ``.&'-`` — a token containing none of them IS its own leading
+    word-run (~2x gate speedup on heavy pages; equivalence vs
+    ``_lead_word`` asserted in test_mentions.py)."""
+    s = s.lower()
+    if "." in s or "&" in s or "'" in s or "-" in s:
+        m = _LEAD_W_RE.match(s)
+        return m.group(0) if m else ""
+    return s
 
 
 def _first_token_gate(alias_map: dict[str, tuple[str, str]]) -> frozenset[str]:
@@ -118,7 +134,7 @@ def find_mentions(
     toks = [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
     i = 0
     while i < len(toks):
-        if _lead_word(toks[i][0]) not in gate:
+        if _lead_word_token(toks[i][0]) not in gate:
             i += 1
             continue
         hit = None

@@ -45,3 +45,28 @@ def test_offsets_point_at_surface():
     text = "He said Acme Systems grew."
     for m in find_mentions(text, _amap()):
         assert text[m["start"] : m["end"]] == m["surface"]
+
+
+def test_lead_word_token_fast_path_equivalent():
+    """The hot-loop fast path must agree with the general regex form on
+    every possible _TOKEN_RE token (charset [A-Za-z][\\w.&'-]*)."""
+    import re
+
+    from graphlab_spark.operators.mentions import (
+        _TOKEN_RE,
+        _lead_word,
+        _lead_word_token,
+    )
+
+    samples = [
+        "Acme", "U.S.", "O'Neill", "Jean-Luc", "AT&T", "Inc.", "x", "A.",
+        "rock-'n'-roll", "A&B.C-d'e", "Word2Vec", "e.g", "Mr.", "CO-OP",
+    ]
+    for s in samples:
+        m = _TOKEN_RE.match(s)
+        assert m is not None and m.group(0) == s, s  # sample is a valid token
+        assert _lead_word_token(s) == _lead_word(s), s
+    # and across a realistic text
+    text = "Dr. O'Brien of AT&T met Jean-Luc at the U.S. CO-OP's H.Q. today."
+    for m in _TOKEN_RE.finditer(text):
+        assert _lead_word_token(m.group(0)) == _lead_word(m.group(0)), m.group(0)
