@@ -83,20 +83,28 @@ def start_windowed_rollup(
     same as rounding the total once — readers round at query time)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from graphlab_spark.operators.scratch import cleanup_prefix
+
         marker = os.path.join(out_dir, "_applied", str(batch_id))
         if os.path.exists(marker):  # replayed batch: already merged
             return
         if batch_df.isEmpty():
             return
-        part = windowed_counts(batch_df, width, rounded=False)
-        _mat.merge_upsert_additive(
-            spark,
-            f"{out_dir}/rollup",
-            part,
-            keys=["window_start", "event_type"],
-            add_cols=["n_events", "sum_value"],
-        )
-        os.makedirs(marker, exist_ok=True)
+        try:
+            part = windowed_counts(batch_df, width, rounded=False)
+            _mat.merge_upsert_additive(
+                spark,
+                f"{out_dir}/rollup",
+                part,
+                keys=["window_start", "event_type"],
+                add_cols=["n_events", "sum_value"],
+            )
+            os.makedirs(marker, exist_ok=True)
+        finally:
+            # continuous queries must not accumulate per-batch tmpfs
+            # (same contract as ingest.py); the merge's scratch pin is
+            # fully consumed once the rollup parquet is written
+            cleanup_prefix("merge_upsert")
 
     return (
         events_stream.writeStream.foreachBatch(process)

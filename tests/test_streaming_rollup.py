@@ -145,3 +145,19 @@ def test_merge_into_sql_additive_form():
     assert "t.n_events = t.n_events + s.n_events" in sql
     assert "t.sum_value = t.sum_value + s.sum_value" in sql
     assert "WHEN NOT MATCHED THEN INSERT" in sql
+
+
+def test_rollup_reclaims_scratch(spark, tmp_path):
+    import glob
+
+    from graphlab_spark.operators.scratch import scratch_dir
+
+    in_dir = str(tmp_path / "in_s")
+    os.makedirs(in_dir)
+    _drop(spark, in_dir, range(0, 300))
+    q = start_windowed_rollup(
+        spark, read_events_stream(spark, in_dir),
+        str(tmp_path / "out_s"), str(tmp_path / "ckpt_s"),
+    )
+    q.awaitTermination(180)
+    assert glob.glob(f"{scratch_dir()}/merge_upsert*") == []
