@@ -446,6 +446,54 @@ def kg_khop(spark, sf):
 
 
 @q(
+    "kg_degree_centrality",
+    "WITH e AS (SELECT DISTINCT subj_id AS src, obj_id AS dst "
+    f"FROM '{REPO_FIXTURES}/golden_triples.parquet'), "
+    "u AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), "
+    "und AS (SELECT src AS id, COUNT(*) AS deg FROM u GROUP BY 1), "
+    "o AS (SELECT src AS id, COUNT(*) AS out_deg FROM e GROUP BY 1), "
+    "i AS (SELECT dst AS id, COUNT(*) AS in_deg FROM e GROUP BY 1) "
+    "SELECT und.id, COALESCE(o.out_deg, 0) AS out_deg, "
+    "COALESCE(i.in_deg, 0) AS in_deg, und.deg "
+    "FROM und LEFT JOIN o ON und.id = o.id LEFT JOIN i ON und.id = i.id",
+    "graph analytics: per-node degree centrality over the live canonical "
+    "edges vs the frozen golden adjacency",
+)
+def kg_degrees(spark, sf):
+    from graphlab_spark.operators.graph_query import degrees
+    from graphlab_spark.plans.pipeline import run_pipeline_in_memory
+    from graphlab_spark.sources import corpus
+
+    pages = corpus.generate_pages(spark, 300)
+    res = run_pipeline_in_memory(spark, pages, corpus.alias_df(spark))
+    return degrees(res["edges"])
+
+
+@q(
+    "kg_pagerank_top",
+    None,  # iterative float algorithm: rows-only here; the semantic gate
+    # is test_graph_query.py (Spark PR == dense numpy power iteration to
+    # 1e-9 on the same graph — hash-gating cross-partition float sums
+    # would flap, same posture as the LSH entries)
+    "graph analytics: PageRank top-10 over the live canonical edges "
+    "(damping 0.85, 20 iterations, dangling mass redistributed)",
+)
+def kg_pagerank(spark, sf):
+    from graphlab_spark.operators.graph_query import pagerank
+    from graphlab_spark.plans.pipeline import run_pipeline_in_memory
+    from graphlab_spark.sources import corpus
+
+    pages = corpus.generate_pages(spark, 300)
+    res = run_pipeline_in_memory(spark, pages, corpus.alias_df(spark))
+    return (
+        pagerank(res["edges"])
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(10)
+    )
+
+
+@q(
     "kg_c14_doc_relevance",
     f"SELECT url, relevance FROM '{REPO_FIXTURES}/golden_relevance.parquet'",
     "C14 keyword-weight ranking: per-doc relevance = sum of matched alias "

@@ -1,0 +1,80 @@
+"""Graph analytics over the materialized edges (operators/graph_query.py):
+degree centrality (oracled via kg_degree_centrality) and PageRank, whose
+semantic gate is equality with a dense numpy power iteration here."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graphlab_spark.operators.graph_query import degrees, pagerank
+
+EDGES = [
+    ("a", "likes", "b"),
+    ("a", "likes", "c"),
+    ("b", "likes", "c"),
+    ("c", "likes", "a"),
+    ("d", "likes", "c"),  # d is a source-only node
+    ("c", "cites", "a"),  # parallel edge, different pred → same distinct pair
+    ("e", "likes", "e"),  # isolated self-loop; e is dangling-free
+    ("f", "likes", "a"),  # f has no in-edges → dangling? no: f has out-edge
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "src string, pred string, dst string")
+
+
+def test_degrees(spark, edges):
+    got = {r.id: (r.out_deg, r.in_deg, r.deg) for r in degrees(edges).collect()}
+    # distinct directed pairs: a→b a→c b→c c→a d→c e→e f→a
+    assert got["a"] == (2, 2, 3)  # out {b,c}, in {c,f}, neighbors {b,c,f}
+    assert got["c"] == (1, 3, 3)  # out {a}, in {a,b,d}, neighbors {a,b,d}
+    assert got["d"] == (1, 0, 1)
+    assert got["e"] == (1, 1, 1)  # self-loop counts once everywhere
+    assert got["f"] == (1, 0, 1)
+
+
+def test_pagerank_matches_numpy(spark, edges):
+    """DISTRIBUTED-path PR (driver_max_nodes=0 forces it) == independent
+    dense power iteration, same formulation (dangling mass uniform,
+    damping 0.85, 20 iterations)."""
+    got = {
+        r.id: r.rank
+        for r in pagerank(edges, 0.85, 20, driver_max_nodes=0).collect()
+    }
+    ids = sorted(got)
+    n = len(ids)
+    pos = {v: i for i, v in enumerate(ids)}
+    pairs = {(s, d) for s, _p, d in EDGES}
+    M = np.zeros((n, n))
+    for s, d in pairs:
+        M[pos[d], pos[s]] += 1.0
+    out = M.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        contrib = np.zeros(n)
+        dangling = 0.0
+        for j in range(n):
+            if out[j] > 0:
+                contrib += 0.85 * r[j] * M[:, j] / out[j]
+            else:
+                dangling += r[j]
+        r = (1 - 0.85) / n + 0.85 * dangling / n + contrib
+    for v in ids:
+        assert abs(got[v] - r[pos[v]]) < 1e-9, (v, got[v], r[pos[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # probability mass preserved
+
+    # driver fast path (default threshold) must agree with the
+    # distributed loop to float precision
+    fast = {r2.id: r2.rank for r2 in pagerank(edges, 0.85, 20).collect()}
+    assert fast.keys() == got.keys()
+    for v in ids:
+        assert abs(fast[v] - got[v]) < 1e-9, (v, fast[v], got[v])
+
+
+def test_pagerank_empty(spark):
+    e = spark.createDataFrame([], "src string, pred string, dst string")
+    assert pagerank(e).count() == 0
