@@ -1,0 +1,65 @@
+"""Bucketed graph sink (sources/bucketed.py): the write-once-shuffle
+layout must make node⋈edge joins plan with ZERO Exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphlab_spark.sources.bucketed import materialize_graph_bucketed, write_bucketed
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force SortMergeJoin so the plan shows whether bucketing removed
+    the exchanges (a broadcast would hide them)."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    yield
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_bucketed_graph_join_has_no_exchange(spark, tmp_path, no_broadcast):
+    nodes = spark.range(5000).select(
+        F.concat(F.lit("e:"), F.col("id").cast("string")).alias("id"),
+        F.lit("ORG").alias("entity_type"),
+    )
+    edges = spark.range(20000).select(
+        F.concat(F.lit("e:"), (F.col("id") % 5000).cast("string")).alias("src"),
+        F.lit("likes").alias("pred"),
+        F.concat(F.lit("e:"), ((F.col("id") + 7) % 5000).cast("string")).alias("dst"),
+    )
+    n, e = materialize_graph_bucketed(
+        spark, nodes, edges, "bt_graph", n_buckets=8, location=str(tmp_path / "wh")
+    )
+    try:
+        j = n.join(e, n.id == e.src)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # co-partitioned by bucketing
+        assert j.count() == 20000
+        # self-join of edges on src is also exchange-free
+        j2 = e.alias("a").join(e.alias("b"), "src")
+        p2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p2, p2
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bt_graph CASCADE")
+
+
+def test_bucketed_name_guard(spark):
+    df = spark.range(1).select(F.col("id").cast("string").alias("id"))
+    with pytest.raises(ValueError):
+        write_bucketed(df, "x; DROP TABLE y", ["id"])
+    with pytest.raises(ValueError):
+        write_bucketed(df, "t", ["id'); --"])
+    with pytest.raises(ValueError):
+        materialize_graph_bucketed(spark, df, df, "db", location="/p'; DROP--")
