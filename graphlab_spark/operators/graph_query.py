@@ -90,6 +90,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 20,
     driver_max_nodes: int = 100_000,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """PageRank over the directed distinct edge set → (id, rank),
     normalized so ranks sum to 1. Dangling-node mass is redistributed
@@ -106,28 +107,40 @@ def pagerank(
     compared with tolerance (or rounded) — never hash-gated raw.
 
     Size-adaptive (same posture as linking/canonicalize): a graph up to
-    ``driver_max_nodes`` runs the identical formulation as one driver
-    numpy power iteration (20 Spark jobs on a vocabulary-sized graph is
-    all scheduler overhead); the distributed loop takes over beyond it.
-    Path equivalence to 1e-9 is pinned by test_graph_query.py.
+    ``driver_max_nodes`` nodes AND ``driver_max_edges`` distinct edges
+    runs the identical formulation as one driver numpy power iteration
+    (20 Spark jobs on a vocabulary-sized graph is all scheduler
+    overhead). Both bounds are checked BEFORE any collect — the node
+    bound alone would admit a dense graph whose edge set floods the
+    driver. The distributed loop takes over beyond either bound; its
+    per-iteration scratch is reclaimed as soon as the next iteration is
+    pinned (only the final rank vector survives the call). Path
+    equivalence to 1e-9 is pinned by test_graph_query.py.
     """
-    from graphlab_spark.operators.scratch import materialize
+    import uuid
 
+    from graphlab_spark.operators.scratch import cleanup_prefix, materialize
+
+    tag = f"pr_{uuid.uuid4().hex[:8]}"  # scratch scoped to this call
     e = edges.select("src", "dst").distinct()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    nodes = materialize(nodes, "pr_nodes")
+    nodes = materialize(nodes, f"{tag}_nodes")
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        cleanup_prefix(tag)
+        return edges.sparkSession.createDataFrame([], "id string, rank double")
     if n <= driver_max_nodes:
-        pairs = [(r.src, r.dst) for r in e.collect()]
-        return e.sparkSession.createDataFrame(
-            _pagerank_driver(pairs, damping, n_iter), "id string, rank double"
-        )
+        m = e.count()
+        if m <= driver_max_edges:
+            cleanup_prefix(tag)
+            pairs = [(r.src, r.dst) for r in e.collect()]
+            return e.sparkSession.createDataFrame(
+                _pagerank_driver(pairs, damping, n_iter), "id string, rank double"
+            )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(n_iter):
@@ -152,8 +165,11 @@ def pagerank(
                     F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
                 ).alias("rank"),
             ),
-            f"pr_iter_{i}",
+            f"{tag}_iter_{i:04d}",
         )
+        if i > 0:  # previous iteration's O(nodes) parquet is now dead
+            cleanup_prefix(f"{tag}_iter_{i - 1:04d}")
+    cleanup_prefix(f"{tag}_nodes")  # only the final rank vector survives
     return ranks
 
 

@@ -128,6 +128,7 @@ def merge_upsert(
     path: str,
     updates: DataFrame,
     keys: list[str],
+    scratch_name: str = "merge_upsert",
 ) -> DataFrame:
     """Idempotent MERGE-style upsert into a parquet table at ``path``.
 
@@ -145,6 +146,11 @@ def merge_upsert(
     other read failure (corrupt footer, permission error, fs hiccup)
     re-raises — silently treating it as first-write would overwrite the
     table with just the updates (data loss).
+
+    ``scratch_name``: long-running callers that reclaim scratch between
+    batches (streaming) pass a name unique to their query+batch so their
+    ``cleanup_prefix`` can never delete ANOTHER concurrent query's
+    in-flight merge scratch.
     """
     validate_output_name(os.path.basename(os.path.normpath(path)))
     if _table_exists(spark, path):
@@ -158,7 +164,7 @@ def merge_upsert(
     # localCheckpoint).
     from graphlab_spark.operators.scratch import materialize
 
-    merged = materialize(merged, "merge_upsert")
+    merged = materialize(merged, scratch_name)
     merged.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -169,6 +175,7 @@ def merge_upsert_additive(
     updates: DataFrame,
     keys: list[str],
     add_cols: list[str],
+    scratch_name: str = "merge_upsert",
 ) -> DataFrame:
     """Cumulative MERGE into a parquet rollup table: WHEN MATCHED →
     ``t.c = t.c + s.c`` for every ``add_cols`` column, WHEN NOT MATCHED →
@@ -188,7 +195,7 @@ def merge_upsert_additive(
     merged = updates.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in add_cols])
     from graphlab_spark.operators.scratch import materialize
 
-    merged = materialize(merged, "merge_upsert")
+    merged = materialize(merged, scratch_name)
     merged.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 

@@ -43,6 +43,11 @@ def write_bucketed(
         validate_output_name(c)
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    # One file per bucket: without this, EVERY input task writes one
+    # file per bucket it touches (tasks × n_buckets tiny files at scale).
+    # repartition() and bucketBy() use the same murmur3 pmod assignment,
+    # so after the repartition each task holds exactly one bucket's rows.
+    df = df.repartition(n_buckets, *[df[c] for c in bucket_cols])
     w = df.write.bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

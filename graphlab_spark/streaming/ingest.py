@@ -67,10 +67,16 @@ def start_ingest(
         vocab_entity_map_small,
     )
 
+    import hashlib
+
     alias_rows = _linking.collect_alias_rows(aliases)
     alias_map = build_alias_map(iter(alias_rows))
     alias_bc = spark.sparkContext.broadcast(alias_map)
     vmax = _vocab_driver_max()
+    # scratch names scoped to this query: per-batch reclamation must
+    # never delete a CONCURRENT query's in-flight scratch (two queries
+    # both at batch 0 would otherwise share 'stream_batch_0'/'merge_upsert')
+    qtag = hashlib.md5(f"{out_dir}|{checkpoint_dir}".encode()).hexdigest()[:8]
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -78,10 +84,10 @@ def start_ingest(
         from graphlab_spark.operators.parse import mentions_view, triples_view
         from graphlab_spark.operators.scratch import cleanup_prefix, materialize
 
+        btag = f"stream_{qtag}_b{batch_id}"
         try:
             parsed = materialize(
-                parse_stage(spark, batch_df, alias_bc=alias_bc),
-                f"stream_batch_{batch_id}",
+                parse_stage(spark, batch_df, alias_bc=alias_bc), btag
             )
             mentions = mentions_view(parsed)
             triples = triples_view(parsed)
@@ -102,7 +108,7 @@ def start_ingest(
                 except _canon.FastPathOverflow:  # clustered batch vocabulary
                     entity_map = None
             if entity_map is None:
-                sdf = materialize(surfaces_plan, f"stream_batch_{batch_id}_surfaces")
+                sdf = materialize(surfaces_plan, f"{btag}_surfaces")
                 links = _linking.link_surfaces(spark, sdf, aliases, link_threshold)
                 entity_map = _entity_map_distributed(
                     spark, sdf, links, aliases, jaccard_dist
@@ -123,13 +129,18 @@ def start_ingest(
             # within one increment flow that is the latest-wins contract; a
             # cumulative count would instead MERGE with additive update (one
             # MERGE INTO ... UPDATE SET n = t.n + s.n on Iceberg).
-            _mat.merge_upsert(spark, f"{out_dir}/nodes", nodes, ["id"])
-            _mat.merge_upsert(spark, f"{out_dir}/edges", edges, ["src", "pred", "dst"])
+            _mat.merge_upsert(
+                spark, f"{out_dir}/nodes", nodes, ["id"],
+                scratch_name=f"{btag}_merge",
+            )
+            _mat.merge_upsert(
+                spark, f"{out_dir}/edges", edges, ["src", "pred", "dst"],
+                scratch_name=f"{btag}_merge",
+            )
         finally:
             # reclaim this batch's scratch — a continuous query must not
             # accumulate tmpfs until interpreter exit
-            cleanup_prefix(f"stream_batch_{batch_id}")
-            cleanup_prefix("merge_upsert")
+            cleanup_prefix(btag)
 
     return (
         pages_stream.writeStream.foreachBatch(process_batch)

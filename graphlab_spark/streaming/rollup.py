@@ -48,10 +48,17 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of event parquet drops (same schema as the
-    ``events`` testdata table)."""
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    ``events`` testdata table). ``max_files_per_trigger`` bounds batch
+    size (and with availableNow forces deterministic multi-batch runs —
+    used by tests to exercise the cross-batch merge path)."""
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
 
 
 def windowed_counts_stream(
@@ -80,16 +87,40 @@ def start_windowed_rollup(
     (window_start, event_type) with additive n_events / sum_value.
 
     Partials are UNROUNDED (rounding per-batch then summing is not the
-    same as rounding the total once — readers round at query time)."""
+    same as rounding the total once — readers round at query time).
+
+    Replay contract: batch ids are minted by the CHECKPOINT, so the
+    applied-batch markers live under ``checkpoint_dir`` — a query
+    resumed from its checkpoint skips already-merged batches, while a
+    FRESH checkpoint starts batch ids at 0 again. Because a fresh
+    checkpoint re-reads every input file, merging it into an existing
+    rollup would double-count history — that combination (fresh
+    checkpoint + existing rollup table) is rejected with an explicit
+    error instead: resume with the original checkpoint, or point at a
+    fresh ``out_dir``."""
+    import hashlib
+
+    # scratch names scoped to this query so per-batch reclamation can
+    # never delete another concurrent query's in-flight merge scratch
+    qtag = hashlib.md5(f"{out_dir}|{checkpoint_dir}".encode()).hexdigest()[:8]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from graphlab_spark.operators.scratch import cleanup_prefix
 
-        marker = os.path.join(out_dir, "_applied", str(batch_id))
+        marker = os.path.join(checkpoint_dir, "applied_batches", str(batch_id))
         if os.path.exists(marker):  # replayed batch: already merged
             return
+        if batch_id == 0 and _mat._table_exists(spark, f"{out_dir}/rollup"):
+            raise RuntimeError(
+                f"fresh checkpoint {checkpoint_dir!r} against existing rollup "
+                f"{out_dir!r}/rollup would re-merge all history (double "
+                "counts). Resume with the original checkpoint or use a fresh "
+                "out_dir. (If batch 0 crashed between merge and marker "
+                "write, delete the rollup table and restart.)"
+            )
         if batch_df.isEmpty():
             return
+        scratch = f"merge_{qtag}_{batch_id}"
         try:
             part = windowed_counts(batch_df, width, rounded=False)
             _mat.merge_upsert_additive(
@@ -98,13 +129,14 @@ def start_windowed_rollup(
                 part,
                 keys=["window_start", "event_type"],
                 add_cols=["n_events", "sum_value"],
+                scratch_name=scratch,
             )
             os.makedirs(marker, exist_ok=True)
         finally:
             # continuous queries must not accumulate per-batch tmpfs
             # (same contract as ingest.py); the merge's scratch pin is
             # fully consumed once the rollup parquet is written
-            cleanup_prefix("merge_upsert")
+            cleanup_prefix(scratch)
 
     return (
         events_stream.writeStream.foreachBatch(process)

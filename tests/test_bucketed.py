@@ -55,6 +55,25 @@ def test_bucketed_graph_join_has_no_exchange(spark, tmp_path, no_broadcast):
         spark.sql("DROP DATABASE IF EXISTS bt_graph CASCADE")
 
 
+def test_bucketed_write_is_one_file_per_bucket(spark, tmp_path):
+    """Without the pre-repartition, every input task writes one file per
+    bucket it touches (tasks x buckets small files at scale)."""
+    import glob
+
+    df = (
+        spark.range(10000)
+        .repartition(6)  # several upstream tasks
+        .select(F.col("id").cast("string").alias("id"))
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bt_files LOCATION '{tmp_path / 'whf'}'")
+    try:
+        write_bucketed(df, "bt_files.t", ["id"], n_buckets=4)
+        files = glob.glob(str(tmp_path / "whf" / "t" / "part-*"))
+        assert 0 < len(files) <= 4, files
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bt_files CASCADE")
+
+
 def test_bucketed_name_guard(spark):
     df = spark.range(1).select(F.col("id").cast("string").alias("id"))
     with pytest.raises(ValueError):

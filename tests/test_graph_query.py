@@ -78,3 +78,26 @@ def test_pagerank_matches_numpy(spark, edges):
 def test_pagerank_empty(spark):
     e = spark.createDataFrame([], "src string, pred string, dst string")
     assert pagerank(e).count() == 0
+
+
+def test_pagerank_edge_bound_forces_distributed(spark, edges):
+    """A dense graph under the node bound must NOT be collected: the
+    edge bound routes it to the distributed loop (equivalent results)."""
+    got = {r.id: r.rank for r in pagerank(edges, driver_max_edges=0).collect()}
+    fast = {r.id: r.rank for r in pagerank(edges).collect()}
+    assert got.keys() == fast.keys()
+    for v in got:
+        assert abs(got[v] - fast[v]) < 1e-9
+
+
+def test_pagerank_reclaims_iteration_scratch(spark, edges):
+    """The distributed loop must leave at most its final rank vector in
+    scratch — not 20 dead per-iteration parquets."""
+    import glob
+
+    from graphlab_spark.operators.scratch import scratch_dir
+
+    before = set(glob.glob(f"{scratch_dir()}/pr_*"))
+    pagerank(edges, n_iter=5, driver_max_nodes=0).count()
+    new = set(glob.glob(f"{scratch_dir()}/pr_*")) - before
+    assert len(new) <= 1, new  # only the returned final iteration

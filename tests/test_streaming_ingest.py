@@ -80,5 +80,5 @@ def test_streaming_reclaims_scratch_per_batch(spark, tmp_path):
         str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
     )
     q.awaitTermination(180)
-    leftovers = glob.glob(f"{scratch_dir()}/stream_batch_*")
+    leftovers = glob.glob(f"{scratch_dir()}/stream_*")
     assert leftovers == [], leftovers

@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from graphlab_spark.operators.events import windowed_counts
@@ -46,13 +47,19 @@ def _drop(spark, path, idx):
 def test_rollup_matches_batch_and_replays_idempotently(spark, tmp_path):
     in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
     os.makedirs(in_dir)
-    # interleaved drops: every window spans both micro-batches, so the
-    # additive MERGE path (matched → t.c + s.c) is genuinely exercised
+    # interleaved drops + maxFilesPerTrigger=1 → TWO micro-batches whose
+    # windows all overlap, so the additive WHEN-MATCHED merge path
+    # (t.c = t.c + s.c across batches) is genuinely exercised — asserted
+    # below via the applied-batch markers
     _drop(spark, in_dir, range(0, 2000, 2))
     _drop(spark, in_dir, range(1, 2000, 2))
 
-    q = start_windowed_rollup(spark, read_events_stream(spark, in_dir), out_dir, ckpt)
+    q = start_windowed_rollup(
+        spark, read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        out_dir, ckpt,
+    )
     q.awaitTermination(300)
+    assert sorted(os.listdir(os.path.join(ckpt, "applied_batches"))) == ["0", "1"]
 
     rolled = {
         (r.window_start, r.event_type, r.n_events, r.sum_value)
@@ -68,7 +75,10 @@ def test_rollup_matches_batch_and_replays_idempotently(spark, tmp_path):
 
     # replay with the same checkpoint: batch-id markers skip the merge —
     # counts must NOT double
-    q2 = start_windowed_rollup(spark, read_events_stream(spark, in_dir), out_dir, ckpt)
+    q2 = start_windowed_rollup(
+        spark, read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        out_dir, ckpt,
+    )
     q2.awaitTermination(120)
     again = {
         (r.window_start, r.event_type, r.n_events, r.sum_value)
@@ -77,6 +87,14 @@ def test_rollup_matches_batch_and_replays_idempotently(spark, tmp_path):
         .collect()
     }
     assert again == rolled
+
+    # FRESH checkpoint against the existing rollup must refuse (it would
+    # re-read every file and double-count history)
+    q3 = start_windowed_rollup(
+        spark, read_events_stream(spark, in_dir), out_dir, str(tmp_path / "ckpt2")
+    )
+    with pytest.raises(Exception, match="double"):
+        q3.awaitTermination(120)
 
 
 def test_watermark_emits_final_windows_and_drops_late(spark, tmp_path):
@@ -160,4 +178,4 @@ def test_rollup_reclaims_scratch(spark, tmp_path):
         str(tmp_path / "out_s"), str(tmp_path / "ckpt_s"),
     )
     q.awaitTermination(180)
-    assert glob.glob(f"{scratch_dir()}/merge_upsert*") == []
+    assert glob.glob(f"{scratch_dir()}/merge_*") == []
