@@ -200,6 +200,98 @@ def merge_upsert_additive(
     return spark.read.parquet(path)
 
 
+def merge_upsert_combine(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    combine: dict,
+    scratch_name: str = "merge_upsert",
+) -> DataFrame:
+    """MERGE with per-column COMBINE semantics: WHEN MATCHED the new row
+    is ``combine[col](existing_col, incoming_col)`` for every non-key
+    column; WHEN NOT MATCHED (either side) the present side's row is
+    kept. ``combine`` maps column name → ``f(e: Column, i: Column) ->
+    Column`` and must cover every non-key column.
+
+    This is the cross-batch aggregation form of the MERGE seam: additive
+    counters (``lambda e, i: e + i``), set unions
+    (``F.array_union``), running minima (``F.least``) — the combinators
+    the streaming KG ingest uses to make incremental results EXACTLY
+    equal a one-shot batch run. On Iceberg the same statement is
+    ``MERGE INTO ... WHEN MATCHED THEN UPDATE SET c = <expr(t.c, s.c)>``.
+
+    NOT replay-idempotent (applying a batch twice double-combines) —
+    callers must gate replays, e.g. the applied-batch markers in
+    streaming/ingest.py and streaming/rollup.py.
+    """
+    validate_output_name(os.path.basename(os.path.normpath(path)))
+    value_cols = [c for c in updates.columns if c not in keys]
+    missing = [c for c in value_cols if c not in combine]
+    if missing:
+        raise ValueError(f"no combiner for columns {missing}")
+    if _table_exists(spark, path):
+        existing = spark.read.parquet(path)
+        e = existing.select(
+            *keys,
+            F.lit(True).alias("_e_present"),
+            *[F.col(c).alias(f"_e_{c}") for c in value_cols],
+        )
+        i = updates.select(
+            *keys,
+            F.lit(True).alias("_i_present"),
+            *[F.col(c).alias(f"_i_{c}") for c in value_cols],
+        )
+        j = e.join(i, keys, "full_outer")
+        merged = j.select(
+            *keys,
+            *[
+                F.when(
+                    F.col("_e_present").isNotNull() & F.col("_i_present").isNotNull(),
+                    combine[c](F.col(f"_e_{c}"), F.col(f"_i_{c}")),
+                )
+                .when(F.col("_i_present").isNotNull(), F.col(f"_i_{c}"))
+                .otherwise(F.col(f"_e_{c}"))
+                .alias(c)
+                for c in value_cols
+            ],
+        )
+    else:
+        merged = updates.select(*keys, *value_cols)
+    from graphlab_spark.operators.scratch import materialize
+
+    merged = materialize(merged, scratch_name)
+    merged.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+# Combiners that make incremental node/edge MERGEs exactly reproduce the
+# one-shot batch aggregation (build_nodes/build_edges over the full
+# input), given per-url dedup keeps each url in exactly one batch:
+#  - counts and weights are sums of disjoint per-batch partials;
+#  - alias/evidence sets are unions (and the k smallest of a union is
+#    reachable from the per-side k smallest, so bounded evidence stays
+#    exact);
+#  - canonical_name / entity_type are running minima (min is
+#    associative).
+NODES_COMBINE = {
+    "aliases": lambda e, i: F.array_sort(F.array_union(e, i)),
+    "entity_type": F.least,
+    "n_mentions": lambda e, i: e + i,
+    "canonical_name": F.least,
+}
+
+
+def edges_combine(max_evidence: int = 3) -> dict:
+    return {
+        "n_evidence": lambda e, i: e + i,
+        "evidence": lambda e, i: F.slice(
+            F.array_sort(F.array_union(e, i)), 1, max_evidence
+        ),
+        "weight": lambda e, i: e + i,
+    }
+
+
 def _table_exists(spark: SparkSession, path: str) -> bool:
     """Explicit missing-path check via the JVM Hadoop FS API — distinguishes
     'table not created yet' from read errors that must propagate."""

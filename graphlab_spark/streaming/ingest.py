@@ -29,12 +29,16 @@ from graphlab_spark.operators.parse import PARSED_SCHEMA, parse_stage  # noqa: F
 from graphlab_spark.sources.corpus import PAGES_SCHEMA
 
 
-def read_pages_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_pages_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream of page increments (parquet drops into a dir —
-    the streaming analog of 'a crawl job finished')."""
+    the streaming analog of 'a crawl job finished'). Tests pass
+    ``max_files_per_trigger=1`` to force deterministic multi-batch runs
+    that exercise the cross-batch combine path."""
     return (
         spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", "8")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(input_dir)
     )
 
@@ -47,6 +51,7 @@ def start_ingest(
     checkpoint_dir: str,
     link_threshold: float = _linking.DEFAULT_THRESHOLD,
     jaccard_dist: float = _canon.DEFAULT_JACCARD_DIST,
+    cumulative: bool = True,
 ):
     """pages stream → foreachBatch(fused parse → link → MERGE nodes/edges).
 
@@ -54,6 +59,18 @@ def start_ingest(
     awaiting termination after files stop arriving, or keep it running for
     continuous ingest. Each batch is one manifest-equivalent unit: the
     streaming checkpoint records which files were processed.
+
+    ``cumulative=True`` (default): node/edge stats COMBINE across batches
+    (counts add, alias/evidence sets union, canonical names take the
+    running min — ``materialize.NODES_COMBINE`` / ``edges_combine``), so
+    after all increments the tables are EXACTLY what one batch run over
+    the union of inputs produces, including n_mentions / n_evidence /
+    weight / aliases (pinned by test). A combine-merge applied twice
+    double-counts, so replays are gated by applied-batch markers under
+    the checkpoint (same contract as streaming/rollup.py), and a FRESH
+    checkpoint against existing tables is rejected (it would re-merge
+    history). ``cumulative=False`` restores latest-wins row replacement
+    (idempotent per batch without markers — B1's plain MERGE semantics).
 
     Built for continuous operation: the alias dictionary is broadcast
     ONCE per query (not per batch), each batch's scratch parquet is
@@ -79,11 +96,24 @@ def start_ingest(
     qtag = hashlib.md5(f"{out_dir}|{checkpoint_dir}".encode()).hexdigest()[:8]
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        import os
+
         from graphlab_spark.operators.parse import mentions_view, triples_view
         from graphlab_spark.operators.scratch import cleanup_prefix, materialize
 
+        marker = os.path.join(checkpoint_dir, "applied_batches", str(batch_id))
+        if cumulative:
+            if os.path.exists(marker):  # replayed batch: already combined
+                return
+            if batch_id == 0 and _mat._table_exists(spark, f"{out_dir}/nodes"):
+                raise RuntimeError(
+                    f"fresh checkpoint {checkpoint_dir!r} against existing "
+                    f"graph tables under {out_dir!r} would re-combine all "
+                    "history (double counts). Resume with the original "
+                    "checkpoint or use a fresh out_dir."
+                )
+        if batch_df.isEmpty():
+            return
         btag = f"stream_{qtag}_b{batch_id}"
         try:
             parsed = materialize(
@@ -124,19 +154,32 @@ def start_ingest(
                 .withColumnRenamed("entity_id", "obj_id")
             )
             edges = _mat.build_edges(t.select("subj_id", "pred", "obj_id", "url", "conf"))
-            # Idempotent MERGE (B1): a replayed batch rewrites the same rows.
-            # Cross-batch aggregation: node/edge rows are replaced per key —
-            # within one increment flow that is the latest-wins contract; a
-            # cumulative count would instead MERGE with additive update (one
-            # MERGE INTO ... UPDATE SET n = t.n + s.n on Iceberg).
-            _mat.merge_upsert(
-                spark, f"{out_dir}/nodes", nodes, ["id"],
-                scratch_name=f"{btag}_merge",
-            )
-            _mat.merge_upsert(
-                spark, f"{out_dir}/edges", edges, ["src", "pred", "dst"],
-                scratch_name=f"{btag}_merge",
-            )
+            if cumulative:
+                # cross-batch COMBINE: counts add, sets union, names take
+                # the running min — incremental tables converge to the
+                # one-shot batch aggregation exactly (on Iceberg: MERGE
+                # INTO ... UPDATE SET n = t.n + s.n etc.); replays gated
+                # by the marker above
+                _mat.merge_upsert_combine(
+                    spark, f"{out_dir}/nodes", nodes, ["id"],
+                    _mat.NODES_COMBINE, scratch_name=f"{btag}_merge",
+                )
+                _mat.merge_upsert_combine(
+                    spark, f"{out_dir}/edges", edges, ["src", "pred", "dst"],
+                    _mat.edges_combine(), scratch_name=f"{btag}_merge",
+                )
+                os.makedirs(marker, exist_ok=True)
+            else:
+                # Idempotent MERGE (B1): a replayed batch rewrites the
+                # same rows (latest-wins per key; no markers needed)
+                _mat.merge_upsert(
+                    spark, f"{out_dir}/nodes", nodes, ["id"],
+                    scratch_name=f"{btag}_merge",
+                )
+                _mat.merge_upsert(
+                    spark, f"{out_dir}/edges", edges, ["src", "pred", "dst"],
+                    scratch_name=f"{btag}_merge",
+                )
         finally:
             # reclaim this batch's scratch — a continuous query must not
             # accumulate tmpfs until interpreter exit

@@ -343,3 +343,28 @@ def test_upsert_tolerates_column_order(spark):
     )
     out = upsert_keywords_non_null(existing, incoming).collect()[0]
     assert out.weight == 0.5 and out.source == "ai"
+
+
+def test_merge_upsert_combine_semantics(spark, tmp_path):
+    """Matched rows combine per-column; one-sided rows pass through; a
+    missing combiner is an explicit error (not silent replacement)."""
+    from graphlab_spark.operators.materialize import merge_upsert_combine
+
+    path = str(tmp_path / "cmb")
+    base = spark.createDataFrame(
+        [("a", 2, ["u1"]), ("b", 5, ["u2"])], "k string, n long, s array<string>"
+    )
+    upd = spark.createDataFrame(
+        [("a", 3, ["u3"]), ("c", 1, ["u4"])], "k string, n long, s array<string>"
+    )
+    combine = {
+        "n": lambda e, i: e + i,
+        "s": lambda e, i: F.array_sort(F.array_union(e, i)),
+    }
+    merge_upsert_combine(spark, path, base, ["k"], combine)
+    out = merge_upsert_combine(spark, path, upd, ["k"], combine)
+    got = {r.k: (r.n, list(r.s)) for r in out.collect()}
+    assert got == {"a": (5, ["u1", "u3"]), "b": (5, ["u2"]), "c": (1, ["u4"])}
+
+    with pytest.raises(ValueError, match="combiner"):
+        merge_upsert_combine(spark, path, upd, ["k"], {"n": lambda e, i: e + i})

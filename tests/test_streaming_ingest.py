@@ -30,11 +30,18 @@ def test_streaming_increments_match_batch(spark, tmp_path):
     os.makedirs(in_dir)
     aliases = corpus.alias_df(spark)
 
-    # two increments land before the run
+    # two increments land before the run; maxFilesPerTrigger=1 forces
+    # one micro-batch per increment so the cross-batch COMBINE path
+    # (counts add, sets union) is genuinely exercised — asserted via the
+    # applied-batch markers
     _drop_increment(spark, in_dir, 0, 60)
     _drop_increment(spark, in_dir, 60, N)
-    q = start_ingest(spark, read_pages_stream(spark, in_dir), aliases, out_dir, ckpt)
+    q = start_ingest(
+        spark, read_pages_stream(spark, in_dir, max_files_per_trigger=1),
+        aliases, out_dir, ckpt,
+    )
     q.awaitTermination(300)
+    assert sorted(os.listdir(os.path.join(ckpt, "applied_batches"))) == ["0", "1"]
 
     nodes = spark.read.parquet(f"{out_dir}/nodes")
     edges = spark.read.parquet(f"{out_dir}/edges")
@@ -44,26 +51,57 @@ def test_streaming_increments_match_batch(spark, tmp_path):
     for r in edges.select("src", "dst").limit(50).collect():
         assert r.src in ids and r.dst in ids
 
-    # batch reference over the same pages: edge key set must match
+    # batch reference over the same pages: with cumulative combine-MERGE
+    # the FULL rows must match — counts, bounded evidence, weights,
+    # alias sets — not just the key sets. (Increments were split on
+    # page-id; this fixture's duplicate urls always pair page i with i-1
+    # inside the same increment, so per-url dedup sees them together.)
     from graphlab_spark.plans.pipeline import run_pipeline_in_memory
 
+    def edge_rows(df):
+        return {
+            tuple(r)
+            for r in df.select(
+                "src", "pred", "dst", "n_evidence",
+                F.col("evidence").cast("string"), F.round("weight", 6),
+            ).collect()
+        }
+
+    def node_rows(df):
+        return {
+            tuple(r)
+            for r in df.select(
+                "id", "canonical_name", "entity_type",
+                F.col("aliases").cast("string"), "n_mentions",
+            ).collect()
+        }
+
     batch = run_pipeline_in_memory(spark, corpus.generate_pages(spark, N), aliases)
-    b_edges = {
-        (r.src, r.pred, r.dst) for r in batch["edges"].select("src", "pred", "dst").collect()
-    }
-    s_edges = {(r.src, r.pred, r.dst) for r in edges.select("src", "pred", "dst").collect()}
-    # increments were split on page-id, and per-url dedup inside one batch
-    # can't see the other increment — but this fixture's duplicate urls
-    # always pair page i with i-1 inside the same increment, so sets match.
-    assert s_edges == b_edges
+    assert edge_rows(edges) == edge_rows(batch["edges"])
+    assert node_rows(nodes) == node_rows(batch["nodes"])
 
     # replay: rerunning the stream with the same checkpoint processes
-    # nothing new and leaves the tables unchanged (effectively-once)
+    # nothing new and leaves the tables unchanged (effectively-once —
+    # cumulative merges are gated by the applied-batch markers)
     before = sorted(tuple(r) for r in edges.collect())
-    q2 = start_ingest(spark, read_pages_stream(spark, in_dir), aliases, out_dir, ckpt)
+    q2 = start_ingest(
+        spark, read_pages_stream(spark, in_dir, max_files_per_trigger=1),
+        aliases, out_dir, ckpt,
+    )
     q2.awaitTermination(120)
     after = sorted(tuple(r) for r in spark.read.parquet(f"{out_dir}/edges").collect())
     assert before == after
+
+    # a FRESH checkpoint against the existing tables must refuse (it
+    # would re-combine all history → double counts)
+    import pytest
+
+    q3 = start_ingest(
+        spark, read_pages_stream(spark, in_dir), aliases, out_dir,
+        str(tmp_path / "ckpt_fresh"),
+    )
+    with pytest.raises(Exception, match="double"):
+        q3.awaitTermination(120)
 
 
 def test_streaming_reclaims_scratch_per_batch(spark, tmp_path):

@@ -173,9 +173,11 @@ def test_rollup_reclaims_scratch(spark, tmp_path):
     in_dir = str(tmp_path / "in_s")
     os.makedirs(in_dir)
     _drop(spark, in_dir, range(0, 300))
+    before = set(glob.glob(f"{scratch_dir()}/merge_*"))
     q = start_windowed_rollup(
         spark, read_events_stream(spark, in_dir),
         str(tmp_path / "out_s"), str(tmp_path / "ckpt_s"),
     )
     q.awaitTermination(180)
-    assert glob.glob(f"{scratch_dir()}/merge_*") == []
+    new = set(glob.glob(f"{scratch_dir()}/merge_*")) - before
+    assert new == set(), new  # this query's merge scratch fully reclaimed
