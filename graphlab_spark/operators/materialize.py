@@ -186,18 +186,32 @@ def merge_upsert_additive(
     regardless of update volume. Duplicate keys WITHIN ``updates`` fold
     additively too (same contract as MERGE over a pre-aggregated source).
     """
+    merged = additive_frame(spark, path, updates, keys, add_cols)
+    from graphlab_spark.operators.scratch import materialize
+
+    merged = materialize(merged, scratch_name)
+    merged.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def additive_frame(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """The merged-table PLAN behind :func:`merge_upsert_additive` —
+    reads the live table lazily, so staged-commit callers
+    (streaming/exactly_once.py) can write it to a staging path without
+    touching the live table."""
     validate_output_name(os.path.basename(os.path.normpath(path)))
     for c in keys + add_cols:
         validate_output_name(c)
     updates = updates.select(*keys, *add_cols)
     if _table_exists(spark, path):
         updates = spark.read.parquet(path).select(*keys, *add_cols).unionByName(updates)
-    merged = updates.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in add_cols])
-    from graphlab_spark.operators.scratch import materialize
-
-    merged = materialize(merged, scratch_name)
-    merged.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return updates.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in add_cols])
 
 
 def merge_upsert_combine(
@@ -222,16 +236,58 @@ def merge_upsert_combine(
     ``MERGE INTO ... WHEN MATCHED THEN UPDATE SET c = <expr(t.c, s.c)>``.
 
     NOT replay-idempotent (applying a batch twice double-combines) —
-    callers must gate replays, e.g. the applied-batch markers in
-    streaming/ingest.py and streaming/rollup.py.
+    callers must gate replays and stage multi-table commits
+    (streaming/exactly_once.py BatchCommitter is the provided harness).
+    """
+    merged = combined_frame(spark, path, updates, keys, combine)
+    from graphlab_spark.operators.scratch import materialize
+
+    merged = materialize(merged, scratch_name)
+    merged.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def combined_frame(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    combine: dict,
+    check_unique: bool = True,
+) -> DataFrame:
+    """The merged-table PLAN behind :func:`merge_upsert_combine` (live
+    table read lazily — safe to write to a staging path).
+
+    Guards, both cheap relative to a merge and both protecting the
+    combine algebra's preconditions:
+    - schema drift: an existing-table column missing from ``updates``
+      would be silently DROPPED by the select — raise instead;
+    - duplicate keys in ``updates`` would fan out the full-outer join
+      (each existing row combined once per duplicate, compounding every
+      batch) — raise unless the caller disables the check because its
+      updates are groupBy outputs (unique by construction).
     """
     validate_output_name(os.path.basename(os.path.normpath(path)))
     value_cols = [c for c in updates.columns if c not in keys]
     missing = [c for c in value_cols if c not in combine]
     if missing:
         raise ValueError(f"no combiner for columns {missing}")
+    if check_unique:
+        dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+        if dup.limit(1).count() > 0:
+            raise ValueError(
+                f"updates contain duplicate keys {keys}; pre-aggregate them "
+                "(a duplicate would fan out the merge join and compound "
+                "counts every batch)"
+            )
     if _table_exists(spark, path):
         existing = spark.read.parquet(path)
+        extra = set(existing.columns) - set(updates.columns)
+        if extra:
+            raise ValueError(
+                f"existing table {path!r} has columns {sorted(extra)} absent "
+                "from updates; a combine merge would silently drop them"
+            )
         e = existing.select(
             *keys,
             F.lit(True).alias("_e_present"),
@@ -243,7 +299,7 @@ def merge_upsert_combine(
             *[F.col(c).alias(f"_i_{c}") for c in value_cols],
         )
         j = e.join(i, keys, "full_outer")
-        merged = j.select(
+        return j.select(
             *keys,
             *[
                 F.when(
@@ -256,13 +312,7 @@ def merge_upsert_combine(
                 for c in value_cols
             ],
         )
-    else:
-        merged = updates.select(*keys, *value_cols)
-    from graphlab_spark.operators.scratch import materialize
-
-    merged = materialize(merged, scratch_name)
-    merged.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return updates.select(*keys, *value_cols)
 
 
 # Combiners that make incremental node/edge MERGEs exactly reproduce the

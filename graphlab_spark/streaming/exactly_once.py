@@ -1,0 +1,131 @@
+"""Effectively-once commit protocol for cumulative (non-idempotent)
+foreachBatch merges across one or more output tables.
+
+A combine/additive MERGE applied twice double-counts, and a micro-batch
+that merges N tables has N-1 crash windows where some tables hold the
+new totals and some don't. This module closes both with a staged,
+resumable commit per batch:
+
+1. **stage**   — compute every table's fully-merged next version from
+   the CURRENT tables and write them under
+   ``{out_dir}/_staging/{ctag}/{batch_id}/{table}`` (no live table is
+   touched; a crash here is recomputed safely on replay);
+2. **commit flag** — create ``.../_COMMIT`` once ALL staged tables are
+   written (the atomicity point: replay before the flag recomputes,
+   replay after it only promotes);
+3. **promote** — per table: delete the live dir, rename the staged dir
+   into place (idempotent: already-promoted tables have no staged dir
+   left and are skipped);
+4. **marker**  — record the batch as applied under
+   ``{checkpoint_dir}/applied_batches/{batch_id}``, then drop staging.
+
+All filesystem checks go through the Hadoop FS API (same as
+``materialize._table_exists``) so the protocol works when
+``checkpoint_dir``/``out_dir`` are on HDFS/S3A, not just local disk —
+driver-local ``os.path`` calls would silently disable replay gating
+there. Staging is keyed by a hash of the checkpoint path (``ctag``), so
+a FRESH checkpoint can never promote a crashed older checkpoint's
+staging, and the fresh-checkpoint-vs-existing-tables guard stays
+unambiguous.
+
+On Iceberg, this whole module collapses into writing the batch id as a
+snapshot property inside each table's single atomic MERGE commit (and a
+multi-table transaction where the catalog offers one).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class _FS:
+    """Thin Hadoop-FS wrapper (works for file://, hdfs://, s3a://...)."""
+
+    def __init__(self, spark: SparkSession, any_path: str):
+        jvm = spark.sparkContext._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(any_path).getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._Path(p)))
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._Path(p))
+
+    def delete(self, p: str) -> None:
+        self._fs.delete(self._Path(p), True)
+
+    def rename(self, src: str, dst: str) -> bool:
+        return bool(self._fs.rename(self._Path(src), self._Path(dst)))
+
+
+class BatchCommitter:
+    """Replay-gated, staged multi-table commit for one streaming query.
+
+    ``run(batch_id, tables)`` with ``tables: dict[name, frame_fn]``
+    where each ``frame_fn() -> DataFrame`` computes that table's fully
+    merged next version from the CURRENT live tables. ``frame_fn`` is
+    only invoked when the batch genuinely needs (re)computing — a replay
+    that already passed the commit point goes straight to promotion.
+    """
+
+    def __init__(self, spark: SparkSession, checkpoint_dir: str, out_dir: str):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.ctag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+        self.marker_root = f"{checkpoint_dir}/applied_batches"
+        self.stage_root = f"{out_dir}/_staging/{self.ctag}"
+        self.fs = _FS(spark, out_dir)
+        self.marker_fs = _FS(spark, checkpoint_dir)
+
+    # ---- state probes -------------------------------------------------
+    def already_applied(self, batch_id: int) -> bool:
+        return self.marker_fs.exists(f"{self.marker_root}/{batch_id}")
+
+    def _stage_dir(self, batch_id: int) -> str:
+        return f"{self.stage_root}/{batch_id}"
+
+    def _committed(self, batch_id: int) -> bool:
+        return self.fs.exists(f"{self._stage_dir(batch_id)}/_COMMIT")
+
+    def guard_first_batch(self, batch_id: int, table_names: list[str]) -> None:
+        """Reject a FRESH checkpoint pointed at already-populated tables:
+        its batch ids restart at 0 and it re-reads every input file, so
+        combining would double-count all history. A RESUMED checkpoint
+        that crashed mid-batch-0 is NOT tripped: its staging commit flag
+        (keyed by this checkpoint's ctag) routes it to promotion."""
+        if batch_id != 0 or self._committed(0):
+            return
+        existing = [t for t in table_names if self.fs.exists(f"{self.out_dir}/{t}")]
+        if existing:
+            raise RuntimeError(
+                f"fresh checkpoint (ctag {self.ctag}) against existing "
+                f"table(s) {existing} under {self.out_dir!r} would re-combine "
+                "all history (double counts). Resume with the original "
+                "checkpoint, or delete the output tables, or use a fresh "
+                "out_dir."
+            )
+
+    # ---- commit protocol ----------------------------------------------
+    def run(self, batch_id: int, tables: dict) -> None:
+        stage = self._stage_dir(batch_id)
+        if not self._committed(batch_id):
+            # (re)compute every staged table from the untouched live ones
+            for name, frame_fn in tables.items():
+                df: DataFrame = frame_fn()
+                df.write.mode("overwrite").parquet(f"{stage}/{name}")
+            self.fs.mkdirs(f"{stage}/_COMMIT")  # atomicity point
+        # promote (idempotent: a table already renamed away is skipped)
+        for name in tables:
+            staged = f"{stage}/{name}"
+            if self.fs.exists(staged):
+                live = f"{self.out_dir}/{name}"
+                self.fs.delete(live)
+                if not self.fs.rename(staged, live):
+                    raise IOError(f"promote failed: {staged} -> {live}")
+        self.marker_fs.mkdirs(f"{self.marker_root}/{batch_id}")
+        self.fs.delete(stage)  # after the marker: replay-safe to leave behind

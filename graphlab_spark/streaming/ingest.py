@@ -4,16 +4,24 @@ The reference's job model is batch-with-retry (persisted job rows polled
 by workers — ``backend/README.md:26-27``), which maps exactly onto
 Structured Streaming's file source + ``foreachBatch``: each micro-batch
 is a new crawl increment; per-doc stages run the SAME fused parse as the
-batch pipeline; nodes/edges are MERGE-upserted idempotently (B1
-semantics), so replays after failure converge to the same tables. The
-streaming checkpoint gives exactly-once *file* accounting while the
-merge keys give idempotent *row* semantics — both are required for the
-end-to-end effectively-once contract.
+batch pipeline.
 
-No watermarks/event-time aggregation: the reference defines none (see
-``graphlab_spark/streaming/__init__.py``); dedup-per-url ACROSS
-increments is handled by the merge key (latest increment wins on
-identical keys), mirroring the batch C13 semantics per batch.
+Two merge modes for the nodes/edges tables:
+
+- ``cumulative=True`` (default): per-column COMBINE merge — counts add,
+  alias/evidence sets union, names take the running min — staged and
+  replay-gated through ``exactly_once.BatchCommitter``, so after all
+  increments the tables EXACTLY equal one batch run over the union of
+  inputs. PRECONDITION: each url appears in exactly one increment
+  (per-url dedup only sees within a batch). A RE-CRAWLED url would have
+  its counts added twice — re-crawl workloads need latest-wins:
+- ``cumulative=False``: idempotent B1-style row replacement (latest
+  increment wins per key, replays converge with no gating) — the mode
+  for re-crawl streams, at the cost of cross-increment counts.
+
+No watermarks/event-time aggregation here: crawl increments carry no
+event-time semantics in the reference; the event-time surface lives in
+``streaming/rollup.py``.
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ from graphlab_spark.operators import materialize as _mat
 from graphlab_spark.operators.mentions import build_alias_map
 from graphlab_spark.operators.parse import PARSED_SCHEMA, parse_stage  # noqa: F401
 from graphlab_spark.sources.corpus import PAGES_SCHEMA
+from graphlab_spark.streaming.exactly_once import BatchCommitter
 
 
 def read_pages_stream(
@@ -65,12 +74,15 @@ def start_ingest(
     running min — ``materialize.NODES_COMBINE`` / ``edges_combine``), so
     after all increments the tables are EXACTLY what one batch run over
     the union of inputs produces, including n_mentions / n_evidence /
-    weight / aliases (pinned by test). A combine-merge applied twice
-    double-counts, so replays are gated by applied-batch markers under
-    the checkpoint (same contract as streaming/rollup.py), and a FRESH
-    checkpoint against existing tables is rejected (it would re-merge
-    history). ``cumulative=False`` restores latest-wins row replacement
-    (idempotent per batch without markers — B1's plain MERGE semantics).
+    weight / aliases (pinned by test; requires disjoint urls per
+    increment — see module docstring). A combine merge applied twice
+    double-counts, and the two tables must change together — both are
+    handled by ``exactly_once.BatchCommitter``: each batch's merged
+    nodes AND edges are staged, commit-flagged, promoted, then marked
+    applied, so a crash at ANY point replays to exactly-once (a fresh
+    checkpoint against populated tables is refused — double-count
+    hazard). ``cumulative=False`` restores latest-wins row replacement
+    (idempotent per batch without gating — B1's plain MERGE semantics).
 
     Built for continuous operation: the alias dictionary is broadcast
     ONCE per query (not per batch), each batch's scratch parquet is
@@ -95,23 +107,18 @@ def start_ingest(
     # both at batch 0 would otherwise share 'stream_batch_0'/'merge_upsert')
     qtag = hashlib.md5(f"{out_dir}|{checkpoint_dir}".encode()).hexdigest()[:8]
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
+    committer = (
+        BatchCommitter(spark, checkpoint_dir, out_dir) if cumulative else None
+    )
 
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from graphlab_spark.operators.parse import mentions_view, triples_view
         from graphlab_spark.operators.scratch import cleanup_prefix, materialize
 
-        marker = os.path.join(checkpoint_dir, "applied_batches", str(batch_id))
         if cumulative:
-            if os.path.exists(marker):  # replayed batch: already combined
+            if committer.already_applied(batch_id):
                 return
-            if batch_id == 0 and _mat._table_exists(spark, f"{out_dir}/nodes"):
-                raise RuntimeError(
-                    f"fresh checkpoint {checkpoint_dir!r} against existing "
-                    f"graph tables under {out_dir!r} would re-combine all "
-                    "history (double counts). Resume with the original "
-                    "checkpoint or use a fresh out_dir."
-                )
+            committer.guard_first_batch(batch_id, ["nodes", "edges"])
         if batch_df.isEmpty():
             return
         btag = f"stream_{qtag}_b{batch_id}"
@@ -158,17 +165,25 @@ def start_ingest(
                 # cross-batch COMBINE: counts add, sets union, names take
                 # the running min — incremental tables converge to the
                 # one-shot batch aggregation exactly (on Iceberg: MERGE
-                # INTO ... UPDATE SET n = t.n + s.n etc.); replays gated
-                # by the marker above
-                _mat.merge_upsert_combine(
-                    spark, f"{out_dir}/nodes", nodes, ["id"],
-                    _mat.NODES_COMBINE, scratch_name=f"{btag}_merge",
+                # INTO ... UPDATE SET n = t.n + s.n etc.). Both tables go
+                # through ONE staged commit: merged versions are computed
+                # from the untouched live tables, commit-flagged, then
+                # promoted — a crash between the two promotions replays
+                # to promotion-only, never to a second combine.
+                committer.run(
+                    batch_id,
+                    {
+                        "nodes": lambda: _mat.combined_frame(
+                            spark, f"{out_dir}/nodes", nodes, ["id"],
+                            _mat.NODES_COMBINE, check_unique=False,
+                        ),
+                        "edges": lambda: _mat.combined_frame(
+                            spark, f"{out_dir}/edges", edges,
+                            ["src", "pred", "dst"], _mat.edges_combine(),
+                            check_unique=False,  # groupBy outputs: unique
+                        ),
+                    },
                 )
-                _mat.merge_upsert_combine(
-                    spark, f"{out_dir}/edges", edges, ["src", "pred", "dst"],
-                    _mat.edges_combine(), scratch_name=f"{btag}_merge",
-                )
-                os.makedirs(marker, exist_ok=True)
             else:
                 # Idempotent MERGE (B1): a replayed batch rewrites the
                 # same rows (latest-wins per key; no markers needed)

@@ -6,14 +6,12 @@ Two complementary shapes:
 
 - :func:`start_windowed_rollup` — foreachBatch: each micro-batch's
   partial (window, event_type) counts are additively MERGEd into a
-  cumulative table (``merge_upsert_additive``; on Iceberg the single
-  statement ``merge_into_sql(..., additive=True)``). No state store —
-  arbitrarily old late data still lands in its window, and the table is
-  queryable mid-stream. Replay safety: a batch-id marker directory is
-  committed AFTER the merge, so a replayed batch (same checkpoint →
-  same batch_id) is skipped; only a crash in the marker-write window can
-  double-apply, which an Iceberg sink closes by writing the batch id
-  into the same atomic commit (snapshot summary property).
+  cumulative table (``additive_frame``; on Iceberg the single statement
+  ``merge_into_sql(..., additive=True)``). No state store — arbitrarily
+  old late data still lands in its window, and the table is queryable
+  mid-stream. Replay/crash safety comes from the staged commit protocol
+  in ``exactly_once.BatchCommitter`` (stage → commit flag → promote →
+  applied marker): a crash at any point replays to exactly-once.
 
 - :func:`windowed_counts_stream` — the classic watermarked streaming
   aggregation: state-store windows, append-mode emission once the
@@ -27,7 +25,6 @@ partial aggregation happens map-side in each micro-batch.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,54 +86,35 @@ def start_windowed_rollup(
     Partials are UNROUNDED (rounding per-batch then summing is not the
     same as rounding the total once — readers round at query time).
 
-    Replay contract: batch ids are minted by the CHECKPOINT, so the
-    applied-batch markers live under ``checkpoint_dir`` — a query
-    resumed from its checkpoint skips already-merged batches, while a
-    FRESH checkpoint starts batch ids at 0 again. Because a fresh
-    checkpoint re-reads every input file, merging it into an existing
-    rollup would double-count history — that combination (fresh
-    checkpoint + existing rollup table) is rejected with an explicit
-    error instead: resume with the original checkpoint, or point at a
-    fresh ``out_dir``."""
-    import hashlib
+    Replay/crash contract (``exactly_once.BatchCommitter``): each
+    batch's merged rollup is staged, commit-flagged, promoted, then
+    marked applied under the CHECKPOINT — a replayed batch is skipped or
+    promotion-only, never combined twice; a FRESH checkpoint against an
+    existing rollup is rejected (its batch ids restart at 0 and every
+    input file is re-read, so merging would double-count history)."""
+    from graphlab_spark.streaming.exactly_once import BatchCommitter
 
-    # scratch names scoped to this query so per-batch reclamation can
-    # never delete another concurrent query's in-flight merge scratch
-    qtag = hashlib.md5(f"{out_dir}|{checkpoint_dir}".encode()).hexdigest()[:8]
+    committer = BatchCommitter(spark, checkpoint_dir, out_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        from graphlab_spark.operators.scratch import cleanup_prefix
-
-        marker = os.path.join(checkpoint_dir, "applied_batches", str(batch_id))
-        if os.path.exists(marker):  # replayed batch: already merged
+        if committer.already_applied(batch_id):
             return
-        if batch_id == 0 and _mat._table_exists(spark, f"{out_dir}/rollup"):
-            raise RuntimeError(
-                f"fresh checkpoint {checkpoint_dir!r} against existing rollup "
-                f"{out_dir!r}/rollup would re-merge all history (double "
-                "counts). Resume with the original checkpoint or use a fresh "
-                "out_dir. (If batch 0 crashed between merge and marker "
-                "write, delete the rollup table and restart.)"
-            )
+        committer.guard_first_batch(batch_id, ["rollup"])
         if batch_df.isEmpty():
             return
-        scratch = f"merge_{qtag}_{batch_id}"
-        try:
-            part = windowed_counts(batch_df, width, rounded=False)
-            _mat.merge_upsert_additive(
-                spark,
-                f"{out_dir}/rollup",
-                part,
-                keys=["window_start", "event_type"],
-                add_cols=["n_events", "sum_value"],
-                scratch_name=scratch,
-            )
-            os.makedirs(marker, exist_ok=True)
-        finally:
-            # continuous queries must not accumulate per-batch tmpfs
-            # (same contract as ingest.py); the merge's scratch pin is
-            # fully consumed once the rollup parquet is written
-            cleanup_prefix(scratch)
+        part = windowed_counts(batch_df, width, rounded=False)
+        committer.run(
+            batch_id,
+            {
+                "rollup": lambda: _mat.additive_frame(
+                    spark,
+                    f"{out_dir}/rollup",
+                    part,
+                    keys=["window_start", "event_type"],
+                    add_cols=["n_events", "sum_value"],
+                )
+            },
+        )
 
     return (
         events_stream.writeStream.foreachBatch(process)

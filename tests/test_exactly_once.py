@@ -1,0 +1,110 @@
+"""Staged-commit protocol (streaming/exactly_once.BatchCommitter):
+crash at ANY point of a multi-table cumulative batch must replay to
+exactly-once — never a second combine, never half-updated tables."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphlab_spark.streaming.exactly_once import BatchCommitter
+
+
+def _frame(spark, n):
+    return spark.range(n).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+
+
+def _tables(spark, n_a, n_b):
+    return {"ta": lambda: _frame(spark, n_a), "tb": lambda: _frame(spark, n_b)}
+
+
+def _counts(spark, out):
+    return {
+        t: spark.read.parquet(f"{out}/{t}").count()
+        for t in ("ta", "tb")
+        if os.path.exists(f"{out}/{t}")
+    }
+
+
+def test_happy_path_and_replay_skip(spark, tmp_path):
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    c = BatchCommitter(spark, ckpt, out)
+    assert not c.already_applied(0)
+    c.run(0, _tables(spark, 5, 7))
+    assert c.already_applied(0)
+    assert _counts(spark, out) == {"ta": 5, "tb": 7}
+    assert not os.path.exists(c._stage_dir(0))  # staging reclaimed
+
+
+def test_crash_after_stage_promotes_without_recompute(spark, tmp_path):
+    """Commit flag present → replay must NOT call frame_fn again (the
+    live tables may already be partially promoted)."""
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    c = BatchCommitter(spark, ckpt, out)
+    # simulate: staged both tables + commit flag, then crash pre-promote
+    stage = c._stage_dir(3)
+    _frame(spark, 4).write.parquet(f"{stage}/ta")
+    _frame(spark, 6).write.parquet(f"{stage}/tb")
+    c.fs.mkdirs(f"{stage}/_COMMIT")
+
+    def boom():
+        raise AssertionError("frame_fn must not be re-invoked after commit flag")
+
+    c.run(3, {"ta": boom, "tb": boom})
+    assert _counts(spark, out) == {"ta": 4, "tb": 6}
+    assert c.already_applied(3)
+
+
+def test_crash_mid_promote_finishes_remaining_tables(spark, tmp_path):
+    """One table promoted, one still staged → replay promotes only the
+    remaining one (no re-delete of the promoted table)."""
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    c = BatchCommitter(spark, ckpt, out)
+    stage = c._stage_dir(5)
+    _frame(spark, 4).write.parquet(f"{stage}/ta")
+    _frame(spark, 6).write.parquet(f"{stage}/tb")
+    c.fs.mkdirs(f"{stage}/_COMMIT")
+    # simulate: ta already promoted, crash before tb
+    c.fs.rename(f"{stage}/ta", f"{out}/ta")
+
+    def boom():
+        raise AssertionError("no recompute after commit flag")
+
+    c.run(5, {"ta": boom, "tb": boom})
+    assert _counts(spark, out) == {"ta": 4, "tb": 6}
+
+
+def test_crash_after_promote_before_marker_marks_only(spark, tmp_path):
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    c = BatchCommitter(spark, ckpt, out)
+    stage = c._stage_dir(2)
+    _frame(spark, 9).write.parquet(f"{stage}/ta")
+    c.fs.mkdirs(f"{stage}/_COMMIT")
+    c.fs.rename(f"{stage}/ta", f"{out}/ta")  # promoted; marker missing
+
+    def boom():
+        raise AssertionError("no recompute after commit flag")
+
+    c.run(2, {"ta": boom})
+    assert c.already_applied(2)
+    assert spark.read.parquet(f"{out}/ta").count() == 9
+
+
+def test_fresh_checkpoint_guard(spark, tmp_path):
+    out = str(tmp_path / "o")
+    c1 = BatchCommitter(spark, str(tmp_path / "c1"), out)
+    c1.run(0, {"ta": lambda: _frame(spark, 3)})
+    # new checkpoint, same out_dir: guard must refuse
+    c2 = BatchCommitter(spark, str(tmp_path / "c2"), out)
+    with pytest.raises(RuntimeError, match="double counts"):
+        c2.guard_first_batch(0, ["ta"])
+    # ...but a RESUMED checkpoint that crashed mid-batch-0 is let through
+    stage0 = c2._stage_dir(0)
+    c2.fs.mkdirs(f"{stage0}/_COMMIT")
+    c2.guard_first_batch(0, ["ta"])  # no raise: routed to promotion
+    # and non-zero batches never trip the guard
+    c2.guard_first_batch(1, ["ta"])
