@@ -188,6 +188,23 @@ def minhash_hashes_udf(hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def bands_frame(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) from a signature frame — the LSH blocking
+    key. Shared by the one-shot pair finder and the incremental index
+    (operators/dedup_incremental.py)."""
+    rows_per_band = N_HASHES // N_BANDS
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> struct(b AS band, concat_ws(',', transform(slice(sig, "
+                f"b * {rows_per_band} + 1, {rows_per_band}), x -> cast(x AS string))) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Candidate pairs via banded minhash buckets, verified with exact
     Jaccard. Shuffles on (band, bucket-signature) — bounded fan-out, no
@@ -198,17 +215,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         shingled(docs).withColumn("sig", minhash_hashes_udf(prehashed_col("sh"))),
         "minhash_sigs",
     )
-    rows_per_band = N_HASHES // N_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {N_BANDS - 1}), "
-                f"b -> struct(b AS band, concat_ws(',', transform(slice(sig, "
-                f"b * {rows_per_band} + 1, {rows_per_band}), x -> cast(x AS string))) AS bucket))"
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bands = bands_frame(sigs)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "bucket"])

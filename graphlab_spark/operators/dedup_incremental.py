@@ -1,0 +1,211 @@
+"""Incremental MinHash-LSH dedup against a persisted signature index.
+
+At 100 TB you never re-dedup the corpus: a persisted index holds every
+document's prehashed shingle set and banded LSH keys, and each new
+increment is checked ONLY against the index plus itself —
+O(increment × bucket-collisions), never O(corpus²) and never a rescan
+of corpus text. This is the scale path behind d04's one-shot form.
+
+Index layout under ``index_dir`` (two tables):
+- ``sigs``  — (doc_id, shl array<long>, sig array<long>): prehashed
+  shingles (for exact-Jaccard verification; ~8 bytes/shingle instead of
+  the raw text) and the minhash signature.
+- ``bands`` — (doc_id, band, bucket): the LSH blocking keys. At cluster
+  scale this table is BUCKETED by (band, bucket) (sources/bucketed.py)
+  so the increment⋈index candidate join is co-partitioned.
+
+Equivalence contract (pinned by test_dedup_incremental.py): feeding a
+corpus in any number of increments yields EXACTLY the pairs of the
+one-shot ``minhash_lsh_pairs`` over the union — candidates are a pure
+function of bucket keys, and verification uses exact Jaccard over the
+shingle sets. Verification here compares PREHASHED shingle sets
+(xxhash64): equal to string-set Jaccard unless two distinct shingles of
+one document pair collide in 64 bits (~1e-11 per pair at 10^4
+shingles) — the same trade the one-shot path makes for signatures.
+
+Crash safety: ``apply_increment`` returns the pairs AND the updated
+index frames without writing; callers choose the commit discipline.
+``start_dedup_stream`` wires it into foreachBatch through
+``exactly_once.BatchCommitter`` (stage → commit → promote → marker), so
+replayed increments neither duplicate index rows nor re-emit pairs. On
+Iceberg the index update is a single append transaction instead of the
+committer's rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphlab_spark.operators.dedup import (
+    bands_frame,
+    minhash_hashes_udf,
+    prehashed_col,
+    shingled,
+)
+from graphlab_spark.operators.materialize import _table_exists
+
+
+def index_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(sigs, bands) index rows for ``docs`` — sigs carry prehashed
+    shingles only (no text, no string shingles)."""
+    sigs = (
+        shingled(docs)
+        .select("doc_id", prehashed_col("sh").alias("shl"))
+        .withColumn("sig", minhash_hashes_udf("shl"))
+    )
+    return sigs, bands_frame(sigs)
+
+
+def _verify(cand: DataFrame, sigs_a: DataFrame, sigs_b: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a, b) pairs against the
+    prehashed shingle sets; unrounded threshold filter (same discipline
+    as the one-shot tier), rounded output column."""
+    return (
+        cand.join(sigs_a.select(F.col("doc_id").alias("a"), F.col("shl").alias("sh_a")), "a")
+        .join(sigs_b.select(F.col("doc_id").alias("b"), F.col("shl").alias("sh_b")), "b")
+        .withColumn(
+            "_j",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("_j") >= threshold)
+        .select("a", "b", F.round("_j", 4).alias("jaccard"))
+    )
+
+
+def apply_increment(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    scratch_name: str = "dedup_inc_sigs",
+) -> dict:
+    """Dedup one increment against the index (and itself) WITHOUT
+    writing anything. Returns::
+
+        {"pairs":     verified near-dup pairs (new×index ∪ new×new),
+         "new_sigs":  the increment's index rows to append,
+         "new_bands": ...,
+         "sigs":      full updated sigs frame  (existing ∪ new),
+         "bands":     full updated bands frame (existing ∪ new)}
+
+    ``pairs`` always orders (a, b) with a < b. Candidates against the
+    index come from one join on (band, bucket) — the increment side is
+    small, so AQE broadcasts it against the bucketed index.
+    """
+    from graphlab_spark.operators.scratch import materialize
+
+    new_sigs, new_bands = index_frames(new_docs)
+    new_sigs = materialize(new_sigs, scratch_name)
+    new_bands = bands_frame(new_sigs)
+
+    have_index = _table_exists(spark, f"{index_dir}/sigs")
+    if have_index:
+        old_sigs = spark.read.parquet(f"{index_dir}/sigs")
+        old_bands = spark.read.parquet(f"{index_dir}/bands")
+        cand_cross = (
+            new_bands.alias("n")
+            .join(old_bands.alias("o"), ["band", "bucket"])
+            .select(
+                F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("a"),
+                F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        all_sigs = old_sigs.unionByName(new_sigs)
+    else:
+        old_sigs = old_bands = None
+        cand_cross = None
+        all_sigs = new_sigs
+
+    cand_self = (
+        new_bands.alias("x")
+        .join(new_bands.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    cand = (
+        cand_self if cand_cross is None
+        else cand_self.unionByName(cand_cross).distinct()
+    )
+    pairs = _verify(cand, all_sigs, all_sigs, threshold)
+    return {
+        "pairs": pairs,
+        "new_sigs": new_sigs,
+        "new_bands": new_bands,
+        "sigs": all_sigs,
+        "bands": new_bands if old_bands is None else old_bands.unionByName(new_bands),
+    }
+
+
+def dedup_increment(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Batch convenience: verify the increment, append it to the index
+    (full-rewrite emulation of the Iceberg append — small-scale sandbox
+    path; NOT crash-atomic across the two tables, use
+    :func:`start_dedup_stream` for that), return the verified pairs
+    materialized (so callers can consume them after the index moved)."""
+    from graphlab_spark.operators.scratch import materialize
+
+    r = apply_increment(spark, index_dir, new_docs, threshold)
+    pairs = materialize(r["pairs"], "dedup_inc_pairs")
+    for name in ("sigs", "bands"):
+        out = materialize(r[name], f"dedup_inc_{name}")
+        out.write.mode("overwrite").parquet(f"{index_dir}/{name}")
+    return pairs
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+):
+    """Continuous incremental dedup: each micro-batch of documents is
+    checked against the index, verified pairs are APPENDED to
+    ``{index_dir}/pairs``, and the index tables advance — all inside one
+    staged commit (``BatchCommitter``), so a replayed batch neither
+    duplicates index rows nor re-emits its pairs."""
+    from graphlab_spark.streaming.exactly_once import BatchCommitter
+
+    committer = BatchCommitter(spark, checkpoint_dir, index_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from graphlab_spark.operators.scratch import cleanup_prefix
+
+        if committer.already_applied(batch_id):
+            return
+        committer.guard_first_batch(batch_id, ["sigs", "bands", "pairs"])
+        if batch_df.isEmpty():
+            return
+        btag = f"dedup_inc_{committer.ctag}_b{batch_id}"
+        try:
+            r = apply_increment(spark, index_dir, batch_df, threshold, scratch_name=btag)
+
+            def _pairs():
+                p = r["pairs"]
+                if _table_exists(spark, f"{index_dir}/pairs"):
+                    p = spark.read.parquet(f"{index_dir}/pairs").unionByName(p)
+                return p
+
+            committer.run(
+                batch_id,
+                {"sigs": lambda: r["sigs"], "bands": lambda: r["bands"], "pairs": _pairs},
+            )
+        finally:
+            cleanup_prefix(btag)  # per-batch scratch, fully consumed by staging
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
