@@ -33,6 +33,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain-audit", shuffle_partitions=8)
     from graphlab_spark.plans.relational import REGISTRY
+    import graphlab_spark.plans.event_queries  # noqa: F401
     import graphlab_spark.plans.training_queries  # noqa: F401
 
     ok_all = True
@@ -133,6 +134,42 @@ def main() -> None:
         spark.conf.get("spark.sql.adaptive.enabled") == "true"
         and spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true",
     )
+
+    # 6e. e01 event rollup: map-side partial agg, single agg exchange
+    p = plan_of(REGISTRY["e01_windowed_event_counts"].fn(spark, sf_dir))
+    ok_all &= check(
+        "e01 windowed rollup partial-aggregates map-side",
+        "partial_" in p.lower() or "HashAggregate" in p,
+    )
+    ok_all &= check(
+        "e01 windowed rollup single agg exchange",
+        p.count("Exchange") <= 2, p[:600],  # agg exchange (+AQE read)
+    )
+
+    # 6f. t05 stratified sample: pure scan-stage filter, zero shuffle
+    p = plan_of(REGISTRY["t05_stratified_sample"].fn(spark, sf_dir))
+    ok_all &= check("t05 stratified sample has no Exchange", "Exchange" not in p, p[:600])
+
+    # 6g. t06 packing: window runs per hash bucket, never one global sort
+    p = plan_of(REGISTRY["t06_token_budget_packing"].fn(spark, sf_dir))
+    win = [l for l in p.splitlines() if "Window" in l or "partition" in l.lower()]
+    ok_all &= check(
+        "t06 packing window is partitioned (no global single-partition sort)",
+        "bucket" in p, "\n".join(win)[:400],
+    )
+
+    # 6h. incremental dedup: increment-vs-index candidate join is a
+    # key join on (band, bucket), never cartesian
+    from graphlab_spark.operators import dedup as DD
+    from graphlab_spark.operators.dedup_incremental import apply_increment, dedup_increment
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 200)
+        dedup_increment(spark, f"{td}/idx", docs.filter(F.col("doc_id") < 100))
+        r = apply_increment(spark, f"{td}/idx", docs.filter(F.col("doc_id") >= 100))
+        p = plan_of(r["pairs"])
+        ok_all &= check("incremental dedup no CartesianProduct", "CartesianProduct" not in p)
+        ok_all &= check("incremental dedup joins on band/bucket keys", "band" in p and "bucket" in p)
 
     # 7. lineitem filter + projection scan for a05
     p = plan_of(REGISTRY["a05_conjunction"].fn(spark, sf_dir))
