@@ -104,6 +104,16 @@ def apply_increment(
     if have_index:
         old_sigs = spark.read.parquet(f"{index_dir}/sigs")
         old_bands = spark.read.parquet(f"{index_dir}/bands")
+        # PRECONDITION: increment ids are new. A re-ingested id would
+        # duplicate index rows and fan out every later verify join —
+        # a cheap semi-join guard beats silent corruption.
+        clash = new_sigs.join(old_sigs, "doc_id", "left_semi").limit(1).count()
+        if clash:
+            raise ValueError(
+                "increment contains doc_ids already in the index at "
+                f"{index_dir!r}; re-ingestion needs a delete+rebuild or "
+                "latest-wins upsert, not an append"
+            )
         cand_cross = (
             new_bands.alias("n")
             .join(old_bands.alias("o"), ["band", "bucket"])

@@ -74,3 +74,15 @@ def test_streaming_dedup_matches_oneshot_and_replays(spark, tmp_path):
     q2.awaitTermination(120)
     assert _pairset(spark.read.parquet(f"{idx}/pairs")) == oneshot
     assert spark.read.parquet(f"{idx}/pairs").count() == len(oneshot)  # no dup rows
+
+
+def test_reingested_id_is_rejected(spark, tmp_path):
+    """Appending an id already in the index would duplicate index rows
+    and fan out every later verify join — refused explicitly."""
+    import pytest
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "clash")
+    dedup_increment(spark, idx, docs.filter(F.col("doc_id") < 100))
+    with pytest.raises(ValueError, match="already in the index"):
+        dedup_increment(spark, idx, docs.filter(F.col("doc_id") < 50))
