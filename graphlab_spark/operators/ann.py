@@ -43,6 +43,50 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail: rounded-score window rank, deterministic
+    neighbor-id tie-break → (query_id, neighbor_id, rank, score)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def cell_assign_udf(bc):
+    """argmax cell assignment against broadcast centroids. Shared by the
+    one-shot IVF path and the persisted index (ann_index.py) so the
+    assignment rule can never drift from the probe rule below."""
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        return pd.Series(np.argmax(M @ bc.value.T, axis=1).astype(np.int32))
+
+    return cell_udf
+
+
+def probe_cells_udf(bc, n_probe: int):
+    """n_probe nearest cells per query vector. STABLE sort: ties resolve
+    to the lowest cell index, exactly like cell_assign_udf's argmax — so
+    a vector's own assigned cell is always probe[0] and the
+    exact-duplicate recall guarantee holds even for pathological vectors
+    tied with > n_probe centroids. This invariant couples the two UDFs;
+    that is WHY they live side by side here."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes_udf(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        sims = M @ bc.value.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(int).tolist() for row in order])
+
+    return probes_udf
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -64,12 +108,7 @@ def brute_force_topk(
     )
     # rank by the ROUNDED score: raw doubles differ across engines at ~1e-9
     # and would flip near-tie orderings vs the oracle
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
-    )
+    return rank_topk(scored, k)
 
 
 def _planes(seed: int = 11) -> np.ndarray:
@@ -136,33 +175,17 @@ def ivf_topk(
     C = _centroids(embeddings, n_centroids, id_col, vec_col)
     bc = spark.sparkContext.broadcast(C)
 
-    @F.pandas_udf(T.IntegerType())
-    def cell_udf(vecs: pd.Series) -> pd.Series:
-        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
-        return pd.Series(np.argmax(M @ bc.value.T, axis=1).astype(np.int32))
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probes_udf(vecs: pd.Series) -> pd.Series:
-        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
-        sims = M @ bc.value.T
-        # STABLE sort: ties resolve to the lowest cell index, exactly like
-        # cell_udf's argmax — so a vector's own assigned cell is always
-        # probe[0] and the exact-duplicate guarantee holds even for
-        # pathological vectors tied with > n_probe centroids.
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.astype(int).tolist() for row in order])
-
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
-        cell_udf(F.col(vec_col)).alias("cell"),
+        cell_assign_udf(bc)(F.col(vec_col)).alias("cell"),
     )
     qside = (
         embeddings.filter(F.col(id_col).isin(query_ids))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
-            F.explode(probes_udf(F.col(vec_col))).alias("cell"),
+            F.explode(probe_cells_udf(bc, n_probe)(F.col(vec_col))).alias("cell"),
         )
     )
     cand = (
@@ -171,12 +194,7 @@ def ivf_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn("score", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 4))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
-    )
+    return rank_topk(scored, k)
 
 
 def lsh_topk(
@@ -203,9 +221,4 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn("score", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 4))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
-    )
+    return rank_topk(scored, k)

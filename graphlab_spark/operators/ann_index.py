@@ -26,22 +26,16 @@ stable probe ordering, same rounded-score ranking.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from graphlab_spark.operators.ann import _centroids, cosine_col
-from graphlab_spark.operators.materialize import validate_output_name
-
-
-def _cell_udf(bc):
-    @F.pandas_udf(T.IntegerType())
-    def cell_udf(vecs: pd.Series) -> pd.Series:
-        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
-        return pd.Series(np.argmax(M @ bc.value.T, axis=1).astype(np.int32))
-
-    return cell_udf
+from graphlab_spark.operators.ann import (
+    _centroids,
+    cell_assign_udf,
+    cosine_col,
+    probe_cells_udf,
+    rank_topk,
+)
 
 
 def _load_centroids(spark: SparkSession, index_dir: str) -> np.ndarray:
@@ -58,7 +52,6 @@ def ivf_build(
     vec_col: str = "embedding",
 ) -> None:
     """Train the (deterministic) coarse quantizer and write the index."""
-    validate_output_name(index_dir.rstrip("/").rsplit("/", 1)[-1])
     C = _centroids(embeddings, n_centroids, id_col, vec_col)
     spark.createDataFrame(
         [(i, [float(x) for x in C[i]]) for i in range(C.shape[0])],
@@ -69,7 +62,7 @@ def ivf_build(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("nvec"),
-            _cell_udf(bc)(F.col(vec_col)).alias("cell"),
+            cell_assign_udf(bc)(F.col(vec_col)).alias("cell"),
         )
         .write.mode("overwrite")
         .partitionBy("cell")
@@ -91,7 +84,7 @@ def ivf_add(
         new_embeddings.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("nvec"),
-            _cell_udf(bc)(F.col(vec_col)).alias("cell"),
+            cell_assign_udf(bc)(F.col(vec_col)).alias("cell"),
         )
         .write.mode("append")
         .partitionBy("cell")
@@ -112,24 +105,23 @@ def ivf_search(
     index → (query_id, neighbor_id, rank, score). Probe cells become a
     static ``cell IN (...)`` partition filter so only probed partitions
     are scanned."""
+    from graphlab_spark.operators.scratch import materialize
+
     C = _load_centroids(spark, index_dir)
     bc = spark.sparkContext.broadcast(C)
     n_probe = min(n_probe, C.shape[0])
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probes_udf(vecs: pd.Series) -> pd.Series:
-        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
-        sims = M @ bc.value.T
-        # stable sort: ties to the lowest cell, matching the assignment
-        # argmax — a vector's own cell is always probed (exact-duplicate
-        # recall guarantee, same as ann.ivf_topk)
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.astype(int).tolist() for row in order])
-
-    qprobes = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("qvec"),
-        F.explode(probes_udf(F.col(query_vec_col))).alias("cell"),
+    # probe-cell assignment (ann.probe_cells_udf — same stable tie-break
+    # as the build-side assignment) is PINNED once: both the driver-side
+    # probe-cell collect and the candidate join read the pinned frame,
+    # so the UDF and the query source run exactly once per search.
+    qprobes = materialize(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+            F.explode(probe_cells_udf(bc, n_probe)(F.col(query_vec_col))).alias("cell"),
+        ),
+        "ivf_probes",
     )
     # driver-small: n_queries × n_probe distinct cell ids
     probe_cells = sorted({r.cell for r in qprobes.select("cell").distinct().collect()})
@@ -140,9 +132,4 @@ def ivf_search(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn("score", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 4))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "score")
-    )
+    return rank_topk(scored, k)

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from graphlab_spark.functions.textstats import fingerprint_col, tokens_col
+from graphlab_spark.functions.textstats import fingerprint_col
 
 # ---------------------------------------------------------------- exact
 

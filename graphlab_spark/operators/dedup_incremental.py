@@ -25,6 +25,8 @@ shingles) — the same trade the one-shot path makes for signatures.
 
 Crash safety: ``apply_increment`` returns the pairs AND the updated
 index frames without writing; callers choose the commit discipline.
+Increment ids must be unique and previously unseen (guarded) — a
+re-crawl workload needs delete+rebuild or a latest-wins upsert first.
 ``start_dedup_stream`` wires it into foreachBatch through
 ``exactly_once.BatchCommitter`` (stage → commit → promote → marker), so
 replayed increments neither duplicate index rows nor re-emit pairs. On
@@ -46,15 +48,15 @@ from graphlab_spark.operators.dedup import (
 from graphlab_spark.operators.materialize import _table_exists
 
 
-def index_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(sigs, bands) index rows for ``docs`` — sigs carry prehashed
-    shingles only (no text, no string shingles)."""
-    sigs = (
+def sig_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, shl, sig) index rows for ``docs`` — prehashed shingles
+    only (no text, no string shingles). Bands derive from this via
+    :func:`graphlab_spark.operators.dedup.bands_frame`."""
+    return (
         shingled(docs)
         .select("doc_id", prehashed_col("sh").alias("shl"))
         .withColumn("sig", minhash_hashes_udf("shl"))
     )
-    return sigs, bands_frame(sigs)
 
 
 def _verify(cand: DataFrame, sigs_a: DataFrame, sigs_b: DataFrame, threshold: float) -> DataFrame:
@@ -96,17 +98,20 @@ def apply_increment(
     """
     from graphlab_spark.operators.scratch import materialize
 
-    new_sigs, new_bands = index_frames(new_docs)
-    new_sigs = materialize(new_sigs, scratch_name)
+    new_sigs = materialize(sig_frame(new_docs), scratch_name)
     new_bands = bands_frame(new_sigs)
 
+    # PRECONDITION: ids are unique and new. Duplicates — within the
+    # increment or against the index — would duplicate index rows and
+    # fan out every later verify join; cheap guards beat silent
+    # corruption (both probes run on the already-materialized sigs).
+    n_rows = new_sigs.count()
+    if new_sigs.select("doc_id").distinct().count() != n_rows:
+        raise ValueError("increment contains duplicate doc_ids")
     have_index = _table_exists(spark, f"{index_dir}/sigs")
     if have_index:
         old_sigs = spark.read.parquet(f"{index_dir}/sigs")
         old_bands = spark.read.parquet(f"{index_dir}/bands")
-        # PRECONDITION: increment ids are new. A re-ingested id would
-        # duplicate index rows and fan out every later verify join —
-        # a cheap semi-join guard beats silent corruption.
         clash = new_sigs.join(old_sigs, "doc_id", "left_semi").limit(1).count()
         if clash:
             raise ValueError(
@@ -193,7 +198,22 @@ def start_dedup_stream(
 
         if committer.already_applied(batch_id):
             return
-        committer.guard_first_batch(batch_id, ["sigs", "bands", "pairs"])
+        if committer._committed(batch_id):
+            # crash landed between promote and marker: finish promotion
+            # WITHOUT recomputing — re-running apply_increment here
+            # would see the already-promoted ids and trip the clash
+            # guard, bricking the stream. frame_fns are never invoked
+            # past the commit flag.
+            def _never():
+                raise AssertionError("recompute after commit flag")
+
+            committer.run(batch_id, {"sigs": _never, "bands": _never, "pairs": _never})
+            return
+        # No fresh-checkpoint guard here (unlike the combine merges):
+        # dedup pairs are not additive, and a genuine double-read of the
+        # same documents is caught exactly by the doc_id clash guard —
+        # while a fresh checkpoint over NEW input against a batch-built
+        # index is a legitimate handoff.
         if batch_df.isEmpty():
             return
         btag = f"dedup_inc_{committer.ctag}_b{batch_id}"

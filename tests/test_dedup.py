@@ -75,3 +75,21 @@ def test_simhash_deterministic(spark, planted):
     a = {(r.doc_id, r.simhash) for r in DD.simhash_table(planted).collect()}
     b = {(r.doc_id, r.simhash) for r in DD.simhash_table(planted).collect()}
     assert a == b
+
+
+def test_shingled_equals_shingles_col(spark):
+    """The hoisted two-projection form must be byte-identical to the
+    single-expression shingles_col on real corpus text — the pin behind
+    shingled()'s docstring claim (all three dedup tiers now build on
+    shingled, so without this test a tokenization regression would
+    cancel out everywhere except the d03 oracle)."""
+    docs = DD.with_planted_near_dups(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    )
+    diff = (
+        docs.select("doc_id", DD.shingles_col().alias("sh")).alias("o")
+        .join(DD.shingled(docs).alias("n"), "doc_id")
+        .filter(F.expr("NOT (o.sh <=> n.sh)"))
+        .count()
+    )
+    assert diff == 0

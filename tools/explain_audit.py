@@ -160,7 +160,6 @@ def main() -> None:
 
     # 6h. incremental dedup: increment-vs-index candidate join is a
     # key join on (band, bucket), never cartesian
-    from graphlab_spark.operators import dedup as DD
     from graphlab_spark.operators.dedup_incremental import apply_increment, dedup_increment
     import tempfile
     with tempfile.TemporaryDirectory() as td:
