@@ -134,3 +134,71 @@ def fingerprint_col(text: str = "text") -> Column:
 
 
 FINGERPRINT_SQL = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ------------------------------------------------------ winnowing (rolling)
+
+WINNOW_K = 8   # k-gram length (characters)
+WINNOW_W = 16  # winnowing window (hashes)
+
+
+def winnow_fp_frame(docs, text: str = "text", k: int = WINNOW_K, w: int = WINNOW_W):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every k-char gram (rolling positions), keep the MINIMUM hash of each
+    w-hash window, emit the distinct sorted selection →
+    (doc_id, wfp string, n_fp).
+
+    The guarantee (pinned by test): any substring match of length
+    >= w + k - 1 between two documents shares at least one selected
+    fingerprint — the content-defined sampling used for copy/plagiarism
+    detection, complementing t04's whole-document hash.
+
+    Engine-portable: per-gram hash is the first 8 hex chars of md5
+    (lexical min == numeric min on fixed-width lowercase hex — the same
+    trick as sampling.rate_to_hex_threshold), so the DuckDB oracle
+    reproduces it bit-for-bit. The gram-hash array is HOISTED into its
+    own projection — computed once per position, not once per window
+    (Catalyst lambda bodies don't share subexpressions; SURVEY §8).
+    JVM-only; no shuffle.
+    """
+    h_expr = (
+        f"CASE WHEN length({text}) - {k} + 1 >= 1 THEN "
+        f"transform(sequence(1, length({text}) - {k} + 1), "
+        f"i -> substring(md5(substring({text}, i, {k})), 1, 8)) "
+        f"ELSE array() END"
+    )
+    fp_expr = (
+        f"CASE WHEN size(_h) - {w} + 1 >= 1 THEN "
+        f"array_sort(array_distinct(transform(sequence(1, size(_h) - {w} + 1), "
+        f"j -> array_min(slice(_h, j, {w}))))) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.select("doc_id", F.expr(h_expr).alias("_h"))
+        .select("doc_id", F.expr(fp_expr).alias("_fp"))
+        .select(
+            "doc_id",
+            F.concat_ws(",", "_fp").alias("wfp"),
+            F.size("_fp").alias("n_fp"),
+        )
+    )
+
+
+def winnow_fp_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """DuckDB oracle mirroring winnow_fp_frame exactly."""
+    return (
+        "SELECT doc_id, "
+        # COALESCE: string_agg of an empty list is NULL in DuckDB while
+        # Spark's concat_ws of an empty array is '' — align on ''
+        f"COALESCE(list_aggregate(CASE WHEN len(h) - {w} + 1 >= 1 THEN "
+        f"list_sort(list_distinct(list_transform(generate_series(1, len(h) - {w} + 1), "
+        f"j -> list_min(h[j : j + {w} - 1])))) ELSE [] END, 'string_agg', ','), '') AS wfp, "
+        f"len(CASE WHEN len(h) - {w} + 1 >= 1 THEN "
+        f"list_distinct(list_transform(generate_series(1, len(h) - {w} + 1), "
+        f"j -> list_min(h[j : j + {w} - 1]))) ELSE [] END) AS n_fp "
+        "FROM (SELECT doc_id, "
+        f"CASE WHEN length(text) - {k} + 1 >= 1 THEN "
+        f"list_transform(generate_series(1, length(text) - {k} + 1), "
+        f"i -> substr(md5(substr(text, i, {k})), 1, 8)) ELSE [] END AS h "
+        "FROM documents)"
+    )

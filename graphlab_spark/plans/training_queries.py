@@ -293,6 +293,16 @@ def m04(spark, sf):
     return MM.extract_features(MM.attach_fake_media(_t(spark, sf, "documents")))
 
 
+@q(
+    "t07_winnowing_fp",
+    TS.winnow_fp_sql(),
+    "winnowing document fingerprints: rolling k-gram hashes, per-window "
+    "minima — substring matches >= w+k-1 chars share a fingerprint",
+)
+def t07(spark, sf):
+    return TS.winnow_fp_frame(_t(spark, sf, "documents"))
+
+
 # ------------------------------------------------- training-data curation
 
 # Data-mixture rates for t05 (language-stratified deterministic sample).

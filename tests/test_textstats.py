@@ -43,3 +43,37 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     fps = [r.fp for r in df.select(TS.fingerprint_col().alias("fp")).collect()]
     assert fps[0] == fps[1]
     assert len(fps[0]) == 32
+
+
+def test_winnowing_guarantee(spark):
+    """The winnowing property: two documents sharing a substring of
+    length >= w + k - 1 select at least one common fingerprint; disjoint
+    documents (over distinct alphabets) share none."""
+    from graphlab_spark.functions import textstats as TS
+
+    shared = "the stolen passage appears verbatim in both documents here"
+    assert len(shared) >= TS.WINNOW_W + TS.WINNOW_K - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + shared + " delta epsilon zeta"),
+            (2, "one two three four five " + shared + " six seven eight"),
+            (3, "qqq www eee rrr ttt yyy uuu iii ooo ppp zzz xxx ccc vvv"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: set(r.wfp.split(",")) if r.wfp else set()
+        for r in TS.winnow_fp_frame(docs).collect()
+    }
+    assert fps[1] & fps[2], "shared substring must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnowing_short_and_null_docs(spark):
+    from graphlab_spark.functions import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, None), (3, "x" * 10)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.wfp, r.n_fp) for r in TS.winnow_fp_frame(docs).collect()}
+    assert got[1] == ("", 0) and got[2] == ("", 0) and got[3] == ("", 0)
