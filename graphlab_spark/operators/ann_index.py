@@ -100,11 +100,19 @@ def ivf_search(
     n_probe: int = 8,
     query_id_col: str = "query_id",
     query_vec_col: str = "qvec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k cosine neighbors for each query row against the persisted
     index → (query_id, neighbor_id, rank, score). Probe cells become a
     static ``cell IN (...)`` partition filter so only probed partitions
-    are scanned."""
+    are scanned.
+
+    ``exclude_self=True`` (default) drops neighbors whose id EQUALS the
+    query id — correct when queries are corpus members (``ivf_topk``
+    parity). It assumes query ids share the corpus id space: an EXTERNAL
+    query whose id happens to collide with a corpus ``vec_id`` would
+    silently lose that one legitimate neighbor — pass
+    ``exclude_self=False`` for external query frames."""
     from graphlab_spark.operators.scratch import materialize
 
     C = _load_centroids(spark, index_dir)
@@ -126,10 +134,9 @@ def ivf_search(
     # driver-small: n_queries × n_probe distinct cell ids
     probe_cells = sorted({r.cell for r in qprobes.select("cell").distinct().collect()})
     cells = spark.read.parquet(f"{index_dir}/cells").filter(F.col("cell").isin(probe_cells))
-    cand = (
-        cells.join(F.broadcast(qprobes), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    cand = cells.join(F.broadcast(qprobes), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.withColumn("score", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 4))
     return rank_topk(scored, k)

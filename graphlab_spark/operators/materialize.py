@@ -123,6 +123,85 @@ def build_edges(canonical_triples: DataFrame, max_evidence: int = 3) -> DataFram
     )
 
 
+# ---- surface-level stats: the DRIFT-FREE cumulative representation ----
+#
+# Entity ids are a function of the whole observed vocabulary (an UNK
+# surface's canonical id can change when a later increment supplies a
+# similarity bridge), so entity-keyed tables cannot be combined across
+# increments without identity drift. SURFACE-keyed stats can: surfaces
+# are literal strings, and every aggregate below is associative
+# (counts/weights add, bounded evidence unions). The entity-level
+# nodes/edges tables are then a deterministic REBUILD from the stats +
+# an entity map over the accumulated vocabulary — vocabulary-sized work
+# per increment, never a corpus rescan. Streaming ingest stages stats
+# AND rebuilt tables in one atomic commit (streaming/ingest.py).
+
+MENTION_STATS_COMBINE = {"n": lambda e, i: e + i}
+
+
+def mention_stats_frame(mentions: DataFrame) -> DataFrame:
+    """mentions → per-(surface, m_type) counts (the node-side stats)."""
+    return mentions.groupBy("surface", "m_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def triple_stats_frame(triples: DataFrame, max_evidence: int = 3) -> DataFrame:
+    """triples → per-(subj, pred, obj) SURFACE-triple aggregates (the
+    edge-side stats). Same algebra as :func:`build_edges`, pre-entity."""
+    return triples.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_evidence"),
+        F.slice(F.array_sort(F.collect_set("url")), 1, max_evidence).alias("evidence"),
+        F.sum("conf").alias("weight"),
+    )
+
+
+def nodes_from_stats(mention_stats: DataFrame, entity_map: DataFrame) -> DataFrame:
+    """Rebuild the nodes table from accumulated mention stats + the
+    entity map over the accumulated vocabulary. Row-for-row equal to
+    :func:`build_nodes` over the union of all increments' mentions:
+    n_mentions = Σ per-surface counts, entity_type/aliases/canonical_name
+    are set/min aggregates — all order-free."""
+    m = mention_stats.join(entity_map, "surface")
+    return (
+        m.groupBy(F.col("entity_id").alias("id"))
+        .agg(
+            F.array_sort(F.collect_set("surface")).alias("aliases"),
+            F.min("m_type").alias("entity_type"),
+            F.sum("n").alias("n_mentions"),
+        )
+        .withColumn("canonical_name", F.element_at(F.col("aliases"), 1))
+        .select(*NODES_COLS)
+    )
+
+
+def edges_from_stats(
+    triple_stats: DataFrame, entity_map: DataFrame, max_evidence: int = 3
+) -> DataFrame:
+    """Rebuild the edges table from accumulated surface-triple stats +
+    entity map. Equal to :func:`build_edges` over the union of inputs:
+    the bounded evidence is exact because the ``max_evidence`` smallest
+    urls of a union are always among the per-part ``max_evidence``
+    smallest (same argument as ``edges_combine``)."""
+    t = (
+        triple_stats.join(entity_map.withColumnRenamed("surface", "subj"), "subj")
+        .withColumnRenamed("entity_id", "subj_id")
+        .join(entity_map.withColumnRenamed("surface", "obj"), "obj")
+        .withColumnRenamed("entity_id", "obj_id")
+    )
+    return (
+        t.groupBy(F.col("subj_id").alias("src"), "pred", F.col("obj_id").alias("dst"))
+        .agg(
+            F.sum("n_evidence").alias("n_evidence"),
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("evidence")))),
+                1,
+                max_evidence,
+            ).alias("evidence"),
+            F.sum("weight").alias("weight"),
+        )
+        .select(*EDGES_COLS)
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,

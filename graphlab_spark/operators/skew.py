@@ -64,6 +64,7 @@ def salted_join(
     key: str,
     n_salts: int = DEFAULT_SALTS,
     how: str = "inner",
+    check_unique: bool = True,
 ) -> DataFrame:
     """Replicated skew join: big side salted by row content, small side
     replicated ``n_salts``× — a hot join key spreads over ``n_salts``
@@ -72,11 +73,47 @@ def salted_join(
     Identical result to ``big.join(small, key, how)``. Use when the big
     side's key distribution is Zipf and the small side is too large to
     broadcast outright (otherwise prefer broadcast / AQE skew-join).
-    Supported ``how``: inner / left (semantics of replication are only
-    defined when ``small`` is unique per key, as for any dimension join).
+    Supported ``how``: inner / left. Replication semantics require
+    ``small`` UNIQUE per key (the dimension-join contract): for
+    ``how='left'`` an unmatched big-side row survives once per salt
+    because exactly one of the ``n_salts`` replicas can match it — a
+    duplicated small key would also duplicate inner matches. Guarded by
+    ``check_unique`` (one aggregate job over the small side — mirroring
+    ``materialize.combined_frame``'s guard; pass ``check_unique=False``
+    when uniqueness is already structurally guaranteed, e.g. a groupBy
+    output).
+
+    Misuse warning: the salt hashes ROW CONTENT, so if ``big`` carries no
+    column beyond the join key, every row of a hot key gets the same salt
+    and nothing spreads — keep a distinguishing column (id, timestamp)
+    on the big side.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got: {how}")
+    if set(big.columns) == {key}:
+        import warnings
+
+        warnings.warn(
+            "salted_join: big side has no column beyond the join key — the "
+            "content-hash salt is then a pure function of the key, so a hot "
+            "key does NOT spread across reducers. Keep a distinguishing "
+            "column (id/timestamp) on the big side.",
+            stacklevel=2,
+        )
+    if check_unique:
+        dup = (
+            small.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"salted_join requires the small side unique per {key!r} "
+                f"(found duplicate key {dup[0][0]!r}); de-duplicate it or "
+                "use a plain join"
+            )
     b = big.withColumn("_salt", salt_col(big, n_salts))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -121,10 +121,35 @@ def run_stage(
         valid_done = in_stats.join(done, ["partition_id", "input_fp"], "left_semi").select(
             "partition_id"
         )
+        # bucket-count sized (≤ N_BUCKETS rows) — collect once, reuse as a
+        # literal IN-list instead of re-running the manifest join per use
+        keep = sorted(r.partition_id for r in valid_done.collect())
     else:
         # output vanished (external deletion / partial commit) → recompute all
-        valid_done = spark.createDataFrame([], "partition_id int")
-    pending = keyed.join(F.broadcast(valid_done), "partition_id", "left_anti")
+        keep = []
+
+    # Dynamic partition overwrite only replaces partitions PRESENT in the
+    # written data: a recomputed bucket whose new output is zero rows, or
+    # a bucket that vanished from the input entirely, would otherwise keep
+    # its previous partition on disk and be served stale forever ("can
+    # never return stale output" is the manifest contract). Delete every
+    # on-disk partition that is not carried over as valid-done BEFORE the
+    # write — including on the nothing-pending path, which still serves
+    # the full table (Hadoop FS API so HDFS/S3A work too; the listing is
+    # bucket-count sized, never data-sized).
+    from graphlab_spark.streaming.exactly_once import _FS
+
+    fs = _FS(spark, out_path)
+    for name in fs.list_names(out_path):
+        if name.startswith("partition_id="):
+            try:
+                pid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if pid not in keep:
+                fs.delete(f"{out_path}/{name}")
+
+    pending = keyed if not keep else keyed.filter(~F.col("partition_id").isin(keep))
     if pending.isEmpty():
         return spark.read.parquet(out_path).drop("partition_id")
 
@@ -136,7 +161,7 @@ def run_stage(
 
     out_stats = out_keyed.groupBy("partition_id").agg(F.count(F.lit(1)).alias("rows_out"))
     stats = (
-        in_stats.join(valid_done, "partition_id", "left_anti")
+        in_stats.filter(~F.col("partition_id").isin(keep) if keep else F.lit(True))
         .join(out_stats, "partition_id", "left")
         .fillna(0, ["rows_out"])
     )
@@ -287,6 +312,46 @@ def _entity_map_distributed(
     )
 
 
+def entity_map_adaptive(
+    spark: SparkSession,
+    surfaces_plan: DataFrame,
+    aliases: DataFrame,
+    alias_rows: list[dict],
+    link_threshold: float,
+    jaccard_dist: float,
+    vmax: int,
+    pin_prefix: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """Size-adaptive link + canonicalize over a vocabulary plan →
+    (links, entity_map). Driver fast path up to ``vmax`` distinct
+    surfaces (one job replaces ~10 vocabulary-scale shuffle jobs);
+    distributed path above it or when the fast path detects clustered
+    input. Output identical either way (pinned by tests).
+    ``pin_prefix`` scopes the distributed path's scratch names so
+    long-running callers (streaming) can reclaim them per batch."""
+    head = surfaces_plan.limit(vmax + 1).collect()
+    if len(head) <= vmax:
+        try:
+            return vocab_entity_map_small(
+                spark, [r["surface"] for r in head], alias_rows,
+                link_threshold, jaccard_dist,
+            )
+        except _canon.FastPathOverflow:
+            # clustered vocabulary (near-O(n²) candidates) — size alone
+            # can't predict it; fall through to the distributed path
+            pass
+    surfaces = _pin(surfaces_plan, f"{pin_prefix}surfaces")
+    links = _pin(
+        _linking.link_surfaces(spark, surfaces, aliases, link_threshold),
+        f"{pin_prefix}links",
+    )
+    entity_map = _pin(
+        _entity_map_distributed(spark, surfaces, links, aliases, jaccard_dist),
+        f"{pin_prefix}entity_map",
+    )
+    return links, entity_map
+
+
 def _build_outputs(
     mentions: DataFrame, triples: DataFrame, entity_map: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
@@ -352,26 +417,9 @@ def run_pipeline_in_memory(
         .unionByName(triples.select(F.col("obj").alias("surface")))
         .distinct()
     )
-    head = surfaces_plan.limit(vmax + 1).collect()
-    links = entity_map = None
-    if len(head) <= vmax:
-        try:
-            links, entity_map = vocab_entity_map_small(
-                spark, [r["surface"] for r in head], alias_rows, link_threshold, jaccard_dist
-            )
-        except _canon.FastPathOverflow:
-            # clustered vocabulary (near-O(n²) candidates) — size alone
-            # can't predict it; fall through to the distributed path
-            links = entity_map = None
-    if entity_map is None:
-        surfaces = _pin(surfaces_plan, "surfaces")
-        links = _pin(
-            _linking.link_surfaces(spark, surfaces, aliases, link_threshold), "links"
-        )
-        entity_map = _pin(
-            _entity_map_distributed(spark, surfaces, links, aliases, jaccard_dist),
-            "entity_map",
-        )
+    links, entity_map = entity_map_adaptive(
+        spark, surfaces_plan, aliases, alias_rows, link_threshold, jaccard_dist, vmax
+    )
     _mark("link+canonicalize")
 
     nodes, edges = _build_outputs(mentions, triples, entity_map)

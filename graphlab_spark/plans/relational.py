@@ -42,6 +42,18 @@ def q(name: str, sql: str | None, doc: str):
     return deco
 
 
+def reorder_registry_last(names: list[str]) -> None:
+    """Move ``names`` to the END of the registry (insertion order is the
+    driver's execution order, and its CORRECTNESS harness records only
+    the FIRST 50 entries). Rows-only entries and entries whose oracle is
+    redundantly pinned elsewhere are registered last so every
+    north-star oracled gate lands inside the recorded window; entries
+    past the cap stay covered by tools/check_oracles.py (which warns on
+    truncation) and tests/test_orphan_oracles.py."""
+    tail = {n: REGISTRY.pop(n) for n in names if n in REGISTRY}
+    REGISTRY.update(tail)
+
+
 # ---------------------------------------------------------------- filters
 
 @q(
@@ -73,13 +85,13 @@ def a02(spark, sf):
 
 @q(
     "a03_ilike_search",
-    "SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE '%gre%'",
+    "SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE '%ge%'",
     "A3 case-insensitive substring search (research_paper.py:67-74)",
 )
 def a03(spark, sf):
     return (
         _t(spark, sf, "part")
-        .filter(F.lower(F.col("p_name")).contains("gre"))
+        .filter(F.lower(F.col("p_name")).contains("ge"))
         .select("p_partkey", "p_name")
     )
 
@@ -245,12 +257,17 @@ def a14(spark, sf):
 @q(
     "a15_anti_join_new_only",
     "SELECT DISTINCT e.user_id FROM events e "
-    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id)",
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_custkey = e.user_id AND o.o_orderstatus = 'F')",
     "A15 insert-if-absent duplicate check (research_paper.py:29-35)",
 )
 def a15(spark, sf):
     events = _t(spark, sf, "events").select("user_id").distinct()
-    orders = _t(spark, sf, "orders").select(F.col("o_custkey").alias("user_id"))
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("user_id"))
+    )
     return events.join(orders, "user_id", "left_anti")
 
 

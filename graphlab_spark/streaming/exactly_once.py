@@ -23,8 +23,10 @@ All filesystem checks go through the Hadoop FS API (same as
 ``materialize._table_exists``) so the protocol works when
 ``checkpoint_dir``/``out_dir`` are on HDFS/S3A, not just local disk —
 driver-local ``os.path`` calls would silently disable replay gating
-there. Staging is keyed by a hash of the checkpoint path (``ctag``), so
-a FRESH checkpoint can never promote a crashed older checkpoint's
+there. Staging is keyed by ``ctag`` — a hash of a NONCE created inside
+the checkpoint dir on first use (not of the path: a fresh checkpoint
+recreated at the same path must not inherit a crashed predecessor's
+staging) — so a FRESH checkpoint can never promote an older checkpoint's
 staging, and the fresh-checkpoint-vs-existing-tables guard stays
 unambiguous.
 
@@ -62,6 +64,12 @@ class _FS:
     def rename(self, src: str, dst: str) -> bool:
         return bool(self._fs.rename(self._Path(src), self._Path(dst)))
 
+    def list_names(self, p: str) -> list[str]:
+        """Child entry names of directory ``p`` ([] if it doesn't exist)."""
+        if not self.exists(p):
+            return []
+        return [s.getPath().getName() for s in self._fs.listStatus(self._Path(p))]
+
 
 class BatchCommitter:
     """Replay-gated, staged multi-table commit for one streaming query.
@@ -76,11 +84,31 @@ class BatchCommitter:
     def __init__(self, spark: SparkSession, checkpoint_dir: str, out_dir: str):
         self.spark = spark
         self.out_dir = out_dir
-        self.ctag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
         self.marker_root = f"{checkpoint_dir}/applied_batches"
-        self.stage_root = f"{out_dir}/_staging/{self.ctag}"
         self.fs = _FS(spark, out_dir)
         self.marker_fs = _FS(spark, checkpoint_dir)
+        # ctag identifies the checkpoint INSTANCE, not its path: a nonce
+        # dir is created inside the checkpoint dir on first use and reused
+        # on resume. Hashing the path alone would let a FRESH checkpoint
+        # recreated at the same path inherit a crashed predecessor's
+        # staging — guard_first_batch(0) would see the old _COMMIT flag
+        # and promote STALE staged tables while discarding the new batch's
+        # frames (r2 advice). A fresh checkpoint dir ⇒ fresh nonce ⇒ fresh
+        # ctag ⇒ old staging is invisible (and swept below).
+        nonce_root = f"{checkpoint_dir}/_committer_nonce"
+        nonces = sorted(self.marker_fs.list_names(nonce_root))
+        if not nonces:
+            import uuid
+
+            nonce = uuid.uuid4().hex[:16]
+            self.marker_fs.mkdirs(f"{nonce_root}/{nonce}")
+            nonces = [nonce]
+        self.ctag = hashlib.md5(nonces[0].encode()).hexdigest()[:8]
+        self.stage_root = f"{out_dir}/_staging/{self.ctag}"
+        # NOTE: staging left under a dead predecessor's ctag is never
+        # touched — it is invisible to this instance and deleting it
+        # blindly could destroy a concurrent query's in-flight staging.
+        # It is bounded (one batch's tables) and reclaimable out-of-band.
 
     # ---- state probes -------------------------------------------------
     def already_applied(self, batch_id: int) -> bool:

@@ -8,13 +8,23 @@ batch pipeline.
 
 Two merge modes for the nodes/edges tables:
 
-- ``cumulative=True`` (default): per-column COMBINE merge — counts add,
-  alias/evidence sets union, names take the running min — staged and
-  replay-gated through ``exactly_once.BatchCommitter``, so after all
-  increments the tables EXACTLY equal one batch run over the union of
-  inputs. PRECONDITION: each url appears in exactly one increment
-  (per-url dedup only sees within a batch). A RE-CRAWLED url would have
-  its counts added twice — re-crawl workloads need latest-wins:
+- ``cumulative=True`` (default): drift-free incremental maintenance.
+  Entity ids are a function of the WHOLE observed vocabulary (an UNK
+  surface's canonical id can change when a later increment supplies a
+  similarity bridge), so entity-keyed tables cannot be combined across
+  increments directly. Instead each batch (a) COMBINE-merges
+  SURFACE-keyed stats tables (``mention_stats``, ``triple_stats`` —
+  counts add, bounded evidence unions; surfaces are literal strings, no
+  identity to drift), then (b) recomputes the entity map over the
+  ACCUMULATED vocabulary and REBUILDS nodes/edges from the merged
+  stats — vocabulary-sized work, never a corpus rescan. All four tables
+  go through one staged ``exactly_once.BatchCommitter`` commit, so
+  after all increments nodes/edges EXACTLY equal one batch run over the
+  union of inputs — including cross-increment UNK merges (pinned by
+  test_streaming_ingest.py::test_bridge_surface_across_increments).
+  PRECONDITION: each url appears in exactly one increment (per-url
+  dedup only sees within a batch). A RE-CRAWLED url would have its
+  counts added twice — re-crawl workloads need latest-wins:
 - ``cumulative=False``: idempotent B1-style row replacement (latest
   increment wins per key, replays converge with no gating) — the mode
   for re-crawl streams, at the cost of cross-increment counts.
@@ -69,18 +79,23 @@ def start_ingest(
     continuous ingest. Each batch is one manifest-equivalent unit: the
     streaming checkpoint records which files were processed.
 
-    ``cumulative=True`` (default): node/edge stats COMBINE across batches
-    (counts add, alias/evidence sets union, canonical names take the
-    running min — ``materialize.NODES_COMBINE`` / ``edges_combine``), so
-    after all increments the tables are EXACTLY what one batch run over
-    the union of inputs produces, including n_mentions / n_evidence /
-    weight / aliases (pinned by test; requires disjoint urls per
-    increment — see module docstring). A combine merge applied twice
-    double-counts, and the two tables must change together — both are
-    handled by ``exactly_once.BatchCommitter``: each batch's merged
-    nodes AND edges are staged, commit-flagged, promoted, then marked
-    applied, so a crash at ANY point replays to exactly-once (a fresh
-    checkpoint against populated tables is refused — double-count
+    ``cumulative=True`` (default): SURFACE-keyed stats tables COMBINE
+    across batches (counts add, bounded evidence unions —
+    ``materialize.MENTION_STATS_COMBINE`` / ``edges_combine``), then the
+    entity map is recomputed over the ACCUMULATED vocabulary and
+    nodes/edges are REBUILT from the merged stats
+    (``materialize.nodes_from_stats`` / ``edges_from_stats``), so after
+    all increments the tables are EXACTLY what one batch run over the
+    union of inputs produces — including n_mentions / n_evidence /
+    weight / aliases AND cross-increment entity merges (a batch-local
+    entity map would split an UNK entity whose similarity bridge lands
+    in a different increment). Requires disjoint urls per increment —
+    see module docstring. A combine merge applied twice double-counts,
+    and the four tables must change together — both are handled by
+    ``exactly_once.BatchCommitter``: each batch's merged stats AND
+    rebuilt nodes/edges are staged, commit-flagged, promoted, then
+    marked applied, so a crash at ANY point replays to exactly-once (a
+    fresh checkpoint against populated tables is refused — double-count
     hazard). ``cumulative=False`` restores latest-wins row replacement
     (idempotent per batch without gating — B1's plain MERGE semantics).
 
@@ -90,11 +105,7 @@ def start_ingest(
     same size-adaptive switch as the batch pipeline (driver fast path up
     to the ceiling, distributed above or on clustered input).
     """
-    from graphlab_spark.plans.pipeline import (
-        _entity_map_distributed,
-        _vocab_driver_max,
-        vocab_entity_map_small,
-    )
+    from graphlab_spark.plans.pipeline import _vocab_driver_max, entity_map_adaptive
 
     import hashlib
 
@@ -118,7 +129,9 @@ def start_ingest(
         if cumulative:
             if committer.already_applied(batch_id):
                 return
-            committer.guard_first_batch(batch_id, ["nodes", "edges"])
+            committer.guard_first_batch(
+                batch_id, ["mention_stats", "triple_stats", "nodes", "edges"]
+            )
         if batch_df.isEmpty():
             return
         btag = f"stream_{qtag}_b{batch_id}"
@@ -128,63 +141,88 @@ def start_ingest(
             )
             mentions = mentions_view(parsed)
             triples = triples_view(parsed)
-            surfaces_plan = (
-                mentions.select("surface")
-                .unionByName(triples.select(F.col("subj").alias("surface")))
-                .unionByName(triples.select(F.col("obj").alias("surface")))
-                .distinct()
-            )
-            entity_map = None
-            head = surfaces_plan.limit(vmax + 1).collect()
-            if len(head) <= vmax:
-                try:
-                    _, entity_map = vocab_entity_map_small(
-                        spark, [r["surface"] for r in head], alias_rows,
-                        link_threshold, jaccard_dist,
-                    )
-                except _canon.FastPathOverflow:  # clustered batch vocabulary
-                    entity_map = None
-            if entity_map is None:
-                sdf = materialize(surfaces_plan, f"{btag}_surfaces")
-                links = _linking.link_surfaces(spark, sdf, aliases, link_threshold)
-                entity_map = _entity_map_distributed(
-                    spark, sdf, links, aliases, jaccard_dist
-                )
-            linked = mentions.join(entity_map, "surface").select(
-                F.col("entity_id").alias("canonical_id"), "surface", "m_type"
-            )
-            nodes = _mat.build_nodes(linked)
-            t = (
-                triples.join(entity_map.withColumnRenamed("surface", "subj"), "subj")
-                .withColumnRenamed("entity_id", "subj_id")
-                .join(entity_map.withColumnRenamed("surface", "obj"), "obj")
-                .withColumnRenamed("entity_id", "obj_id")
-            )
-            edges = _mat.build_edges(t.select("subj_id", "pred", "obj_id", "url", "conf"))
             if cumulative:
-                # cross-batch COMBINE: counts add, sets union, names take
-                # the running min — incremental tables converge to the
-                # one-shot batch aggregation exactly (on Iceberg: MERGE
-                # INTO ... UPDATE SET n = t.n + s.n etc.). Both tables go
-                # through ONE staged commit: merged versions are computed
-                # from the untouched live tables, commit-flagged, then
-                # promoted — a crash between the two promotions replays
-                # to promotion-only, never to a second combine.
+                # (a) combine SURFACE-keyed stats (drift-free algebra),
+                # (b) recompute the entity map over the ACCUMULATED
+                #     vocabulary, (c) rebuild nodes/edges from the merged
+                #     stats. One staged commit covers all four tables:
+                # every frame is computed from the untouched live tables,
+                # commit-flagged, then promoted — a crash between
+                # promotions replays to promotion-only, never to a second
+                # combine. ``_merged`` is lazy: a replay past the commit
+                # point never recomputes (frame_fns aren't invoked).
+                batch_mstats = _mat.mention_stats_frame(mentions)
+                batch_tstats = _mat.triple_stats_frame(triples)
+                state: dict = {}
+
+                def _merged() -> dict:
+                    if not state:
+                        state["m"] = materialize(
+                            _mat.combined_frame(
+                                spark, f"{out_dir}/mention_stats", batch_mstats,
+                                ["surface", "m_type"], _mat.MENTION_STATS_COMBINE,
+                                check_unique=False,  # groupBy output: unique
+                            ),
+                            f"{btag}_mstats",
+                        )
+                        state["t"] = materialize(
+                            _mat.combined_frame(
+                                spark, f"{out_dir}/triple_stats", batch_tstats,
+                                ["subj", "pred", "obj"], _mat.edges_combine(),
+                                check_unique=False,
+                            ),
+                            f"{btag}_tstats",
+                        )
+                        surfaces_plan = (
+                            state["m"].select("surface")
+                            .unionByName(state["t"].select(F.col("subj").alias("surface")))
+                            .unionByName(state["t"].select(F.col("obj").alias("surface")))
+                            .distinct()
+                        )
+                        _, state["em"] = entity_map_adaptive(
+                            spark, surfaces_plan, aliases, alias_rows,
+                            link_threshold, jaccard_dist, vmax,
+                            pin_prefix=f"{btag}_",
+                        )
+                    return state
+
                 committer.run(
                     batch_id,
                     {
-                        "nodes": lambda: _mat.combined_frame(
-                            spark, f"{out_dir}/nodes", nodes, ["id"],
-                            _mat.NODES_COMBINE, check_unique=False,
+                        "mention_stats": lambda: _merged()["m"],
+                        "triple_stats": lambda: _merged()["t"],
+                        "nodes": lambda: _mat.nodes_from_stats(
+                            _merged()["m"], _merged()["em"]
                         ),
-                        "edges": lambda: _mat.combined_frame(
-                            spark, f"{out_dir}/edges", edges,
-                            ["src", "pred", "dst"], _mat.edges_combine(),
-                            check_unique=False,  # groupBy outputs: unique
+                        "edges": lambda: _mat.edges_from_stats(
+                            _merged()["t"], _merged()["em"]
                         ),
                     },
                 )
             else:
+                surfaces_plan = (
+                    mentions.select("surface")
+                    .unionByName(triples.select(F.col("subj").alias("surface")))
+                    .unionByName(triples.select(F.col("obj").alias("surface")))
+                    .distinct()
+                )
+                _, entity_map = entity_map_adaptive(
+                    spark, surfaces_plan, aliases, alias_rows,
+                    link_threshold, jaccard_dist, vmax, pin_prefix=f"{btag}_",
+                )
+                linked = mentions.join(entity_map, "surface").select(
+                    F.col("entity_id").alias("canonical_id"), "surface", "m_type"
+                )
+                nodes = _mat.build_nodes(linked)
+                t = (
+                    triples.join(entity_map.withColumnRenamed("surface", "subj"), "subj")
+                    .withColumnRenamed("entity_id", "subj_id")
+                    .join(entity_map.withColumnRenamed("surface", "obj"), "obj")
+                    .withColumnRenamed("entity_id", "obj_id")
+                )
+                edges = _mat.build_edges(
+                    t.select("subj_id", "pred", "obj_id", "url", "conf")
+                )
                 # Idempotent MERGE (B1): a replayed batch rewrites the
                 # same rows (latest-wins per key; no markers needed)
                 _mat.merge_upsert(

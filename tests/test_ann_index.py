@@ -59,3 +59,24 @@ def test_probe_scan_is_partition_pruned(spark, embs, tmp_path):
     )
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "cell" in pf[0], plan[:800]  # static cell IN (...) pruning
+
+
+def test_ivf_search_external_query_id_collision(spark, tmp_path):
+    """r2 advice: an EXTERNAL query whose id collides with a corpus
+    vec_id must not silently lose that neighbor — exclude_self=False."""
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.operators.ann_index import ivf_build, ivf_search
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "idx_ext")
+    ivf_build(spark, emb, idx, n_centroids=8)
+    # external query: same vector as corpus vec_id 3, reusing id 3
+    qrow = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    with_self = ivf_search(spark, idx, qrow, k=3, n_probe=4, exclude_self=False)
+    top = with_self.filter(F.col("rank") == 1).collect()[0]
+    assert top.neighbor_id == 3 and top.score == 1.0  # the collision id IS a hit
+    without = ivf_search(spark, idx, qrow, k=3, n_probe=4)  # default excludes
+    assert without.filter(F.col("neighbor_id") == 3).count() == 0

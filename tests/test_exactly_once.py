@@ -108,3 +108,37 @@ def test_fresh_checkpoint_guard(spark, tmp_path):
     c2.guard_first_batch(0, ["ta"])  # no raise: routed to promotion
     # and non-zero batches never trip the guard
     c2.guard_first_batch(1, ["ta"])
+
+
+def test_fresh_checkpoint_at_same_path_ignores_old_staging(spark, tmp_path):
+    """r2 advice: ctag must key the checkpoint INSTANCE, not its path.
+    A predecessor that crashed between _COMMIT and marker leaves staging
+    behind; a FRESH checkpoint recreated at the SAME path must not see
+    that _COMMIT flag (it would promote the stale staged tables and
+    silently discard its own batch 0)."""
+    import shutil
+
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    c1 = BatchCommitter(spark, ckpt, out)
+    # simulate crash between _COMMIT and marker: stage + flag, no promote
+    stage = c1._stage_dir(0)
+    _frame(spark, 5).write.parquet(f"{stage}/ta")
+    c1.fs.mkdirs(f"{stage}/_COMMIT")
+    assert c1._committed(0)
+
+    # checkpoint dir is wiped and recreated (fresh query, same path)
+    shutil.rmtree(ckpt)
+    c2 = BatchCommitter(spark, ckpt, out)
+    assert c2.ctag != c1.ctag  # new nonce ⇒ new identity
+    assert not c2._committed(0)  # predecessor's staging is invisible
+    c2.run(0, {"ta": lambda: _frame(spark, 9)})
+    assert spark.read.parquet(f"{out}/ta").count() == 9  # NEW batch, not stale 5
+
+
+def test_resumed_checkpoint_keeps_ctag(spark, tmp_path):
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    c1 = BatchCommitter(spark, ckpt, out)
+    c1.run(0, {"ta": lambda: _frame(spark, 3)})
+    c2 = BatchCommitter(spark, ckpt, out)  # resume: same checkpoint dir
+    assert c2.ctag == c1.ctag
+    assert c2.already_applied(0)

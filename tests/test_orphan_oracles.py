@@ -1,0 +1,65 @@
+"""Oracle gate for registry entries BEYOND the driver's 50-row cap.
+
+The driver's CORRECTNESS harness records only the first 50 ``queries()``
+entries; the registry deliberately parks rows-only entries and two
+near-trivial filters past the cap (see ``reorder_registry_last`` in
+plans/relational.py). This test replicates the driver's compare
+(row count, column set, order-insensitive value hash vs the DuckDB
+oracle) for every entry past the cap, so a registry reorder can never
+silently orphan a gate. Rows-only entries past the cap get the same
+weaker check the driver would give them: the query runs and its row
+count is sane.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from tools.check_oracles import TABLES, value_hash
+
+SF_DIR = "/root/testdata/sf0.001"
+DRIVER_CAP = 50
+
+
+def _beyond_cap() -> list[str]:
+    return list(E.queries())[DRIVER_CAP:]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_cap_split_is_intentional():
+    names = list(E.queries())
+    oracles = E.oracle_sql()
+    # every oracled entry past the cap must be one we consciously parked
+    parked_oracled = {"a03_ilike_search", "a15_anti_join_new_only"}
+    beyond = set(names[DRIVER_CAP:])
+    assert {n for n in beyond if n in oracles} <= parked_oracled
+    # and every in-cap entry is oracled (no wasted driver rows)
+    assert all(n in oracles for n in names[:DRIVER_CAP])
+    # the kg north-star gates all sit inside the recorded window
+    kg_oracled = {n for n in names if n.startswith("kg_") and n in oracles}
+    assert kg_oracled <= set(names[:DRIVER_CAP])
+
+
+@pytest.mark.parametrize("name", _beyond_cap())
+def test_orphan_entry(name, spark, duck):
+    fn = E.queries()[name]
+    sql = E.oracle_sql().get(name)
+    sdf = fn(spark, SF_DIR).toPandas()
+    if sql is None:
+        assert len(sdf) >= 0  # rows-only: ran to completion with a schema
+        assert list(sdf.columns)
+        return
+    odf = duck.sql(sql).df()
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert value_hash(sdf) == value_hash(odf), f"{name}: value-hash mismatch"

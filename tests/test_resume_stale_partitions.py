@@ -1,0 +1,74 @@
+"""Regression (r2 advice): dynamic partition overwrite only replaces
+partitions present in the written data — a recomputed bucket whose new
+input yields ZERO output rows, or a bucket that vanished from the input
+entirely, must not keep serving its previous rows from disk."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphlab_spark.operators.manifest import Manifest, bucket_of
+from graphlab_spark.plans.pipeline import run_stage
+
+
+def _input(spark, rows):
+    return spark.createDataFrame(rows, "url string, flag boolean")
+
+
+def _compute(d):
+    # a bucket whose rows all flip to flag=False recomputes to zero rows
+    return d.filter(F.col("flag")).withColumn("val", F.length("url"))
+
+
+def test_zero_row_recompute_clears_stale_partition(spark, tmp_path):
+    out = str(tmp_path / "zr")
+    manifest = Manifest(spark, f"{out}/manifest")
+    rows1 = [(f"u{i}", True) for i in range(60)]
+    r1 = run_stage(
+        spark, manifest, "r", "st", _input(spark, rows1), "url", _compute,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+    assert r1.count() == 60
+
+    # flip ~half the urls to flag=False: their buckets' fingerprints
+    # change ⇒ recompute; several buckets now produce zero rows
+    rows2 = [(f"u{i}", i % 2 == 0) for i in range(60)]
+    r2 = run_stage(
+        spark, manifest, "r", "st", _input(spark, rows2), "url", _compute,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+    got = {r.url for r in r2.collect()}
+    want = {f"u{i}" for i in range(60) if i % 2 == 0}
+    assert got == want  # no stale odd-numbered urls served from old partitions
+
+
+def test_vanished_bucket_clears_stale_partition(spark, tmp_path):
+    out = str(tmp_path / "vb")
+    manifest = Manifest(spark, f"{out}/manifest")
+    urls = [f"u{i}" for i in range(60)]
+    rows1 = [(u, True) for u in urls]
+    run_stage(
+        spark, manifest, "r", "st", _input(spark, rows1), "url", _compute,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+
+    # drop EVERY url of one hash bucket from the input — that bucket's
+    # partition must disappear from the served output even though no
+    # remaining bucket needs recomputing (the nothing-pending fast path)
+    bdf = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        "url", bucket_of("url").alias("b")
+    )
+    by_bucket: dict[int, list[str]] = {}
+    for r in bdf.collect():
+        by_bucket.setdefault(r.b, []).append(r.url)
+    victim_bucket = max(by_bucket, key=lambda b: len(by_bucket[b]))
+    dropped = set(by_bucket[victim_bucket])
+    assert dropped  # sanity
+
+    rows2 = [(u, True) for u in urls if u not in dropped]
+    r2 = run_stage(
+        spark, manifest, "r", "st", _input(spark, rows2), "url", _compute,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+    got = {r.url for r in r2.collect()}
+    assert got == set(urls) - dropped

@@ -36,3 +36,46 @@ def test_salted_on_skewed_input(spark):
     out = {r.k: r.n for r in salted_count(df, "k").collect()}
     assert out["hot"] == 5000
     assert out["c42"] == 1
+
+
+def test_salted_join_rejects_duplicate_small_keys(spark):
+    import pytest
+
+    from graphlab_spark.operators.skew import salted_join
+
+    big = spark.range(20).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    dup_small = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, tag string"
+    )
+    with pytest.raises(ValueError, match="unique per 'k'"):
+        salted_join(big, dup_small, "k")
+    # structural uniqueness can skip the guard job explicitly
+    out = salted_join(big, dup_small.dropDuplicates(["k"]), "k", check_unique=False)
+    assert out.count() == 2
+
+
+def test_salted_join_warns_on_key_only_big_side(spark):
+    import warnings
+
+    from graphlab_spark.operators.skew import salted_join
+
+    big = spark.range(10).select(F.col("id").alias("k"))
+    small = spark.range(10).select(F.col("id").alias("k"), F.lit("t").alias("tag"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        salted_join(big, small, "k")
+    assert any("does NOT spread" in str(x.message) for x in w)
+
+
+def test_salted_left_join_equals_plain(spark):
+    from graphlab_spark.operators.skew import salted_join
+
+    big = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+    small = spark.range(0, 40, 2).select(F.col("id").alias("k"), F.lit("m").alias("tag"))
+    plain = sorted(
+        (r.k, r.v, r.tag) for r in big.join(small, "k", "left").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.tag) for r in salted_join(big, small, "k", how="left").collect()
+    )
+    assert plain == salted

@@ -120,3 +120,72 @@ def test_streaming_reclaims_scratch_per_batch(spark, tmp_path):
     q.awaitTermination(180)
     leftovers = glob.glob(f"{scratch_dir()}/stream_*")
     assert leftovers == [], leftovers
+
+
+def test_bridge_surface_across_increments(spark, tmp_path):
+    """r2 advice: an UNK surface whose merge partner lands in a DIFFERENT
+    increment must still canonicalize to the one-shot entity. The old
+    per-batch entity map split such entities (batch 2 never saw batch 1's
+    vocabulary); the stats+rebuild path canonicalizes over the
+    ACCUMULATED vocabulary, so incremental ≡ one-shot exactly."""
+    import datetime as dt
+
+    import pandas as pd
+
+    in_dir = str(tmp_path / "in_br")
+    out_dir = str(tmp_path / "out_br")
+    ckpt = str(tmp_path / "ckpt_br")
+    os.makedirs(in_dir)
+    aliases = corpus.alias_df(spark)
+    epoch = dt.datetime(2024, 1, 1)
+
+    def _page(i, body):
+        return {
+            "url": f"https://example.org/bridge/{i}",
+            "warc_ts": epoch + dt.timedelta(seconds=i),
+            "html": f"<html><body><p>{body}</p></body></html>".encode(),
+            "text": None,
+            "lang": "en",
+        }
+
+    # increment 1: surface "Quantumflux Research Labs" (UNK);
+    # increment 2: surface "Quantumflux Research Lab" (UNK) — char-gram
+    # Jaccard distance ≈ 0.04 « 0.28, so one-shot merges them into the
+    # lexically-smaller unk: entity. Batch-local canonicalization can't.
+    inc1 = [_page(1, "Quantumflux Research Labs announced a partnership today.")]
+    inc2 = [_page(2, "Quantumflux Research Lab published new results yesterday.")]
+    for k, inc in enumerate([inc1, inc2]):
+        spark.createDataFrame(pd.DataFrame(inc), corpus.PAGES_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    q = start_ingest(
+        spark, read_pages_stream(spark, in_dir, max_files_per_trigger=1),
+        aliases, out_dir, ckpt,
+    )
+    q.awaitTermination(300)
+    assert sorted(os.listdir(os.path.join(ckpt, "applied_batches"))) == ["0", "1"]
+
+    nodes = spark.read.parquet(f"{out_dir}/nodes")
+    got = {
+        (r.id, tuple(r.aliases), r.n_mentions)
+        for r in nodes.filter(F.col("id").startswith("unk:quantumflux")).collect()
+    }
+    # one-shot reference over the union of both increments
+    from graphlab_spark.plans.pipeline import run_pipeline_in_memory
+
+    pages = spark.createDataFrame(pd.DataFrame(inc1 + inc2), corpus.PAGES_SCHEMA)
+    batch = run_pipeline_in_memory(spark, pages, aliases)
+    want = {
+        (r.id, tuple(r.aliases), r.n_mentions)
+        for r in batch["nodes"].filter(
+            F.col("id").startswith("unk:quantumflux")
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 1  # merged into ONE entity (the bridge held)
+    (_, aliases_got, n_mentions) = next(iter(got))
+    assert set(aliases_got) == {
+        "Quantumflux Research Labs", "Quantumflux Research Lab"
+    }
+    assert n_mentions == 2
