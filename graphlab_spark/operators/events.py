@@ -58,6 +58,29 @@ def windowed_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """SLIDING-window throughput rollup: every event contributes to
+    ``width/slide`` overlapping epoch-aligned windows (``F.window`` with
+    a slide duration). Same partial-agg shuffle shape as the tumbling
+    form — shuffle volume grows by the overlap factor (windows × types),
+    still independent of input rows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame, gap: str = "30 minutes", rounded: bool = True
 ) -> DataFrame:

@@ -29,6 +29,22 @@ def e01(spark, sf):
 
 
 @q(
+    "e04_sliding_window_counts",
+    # Spark's F.window(ts, 1h, 15m) assigns each event to the 4
+    # epoch-aligned 15-min-grid starts in (ts-1h, ts]; mirrored by
+    # flooring ts to the slide grid and stepping back k=0..3 slides.
+    "SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) "
+    "- k * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+    "FROM events CROSS JOIN generate_series(0, 3) AS t(k) GROUP BY 1, 2",
+    "event-time SLIDING-window rollup (1h windows every 15min) — the "
+    "overlapping-window counterpart of e01",
+)
+def e04(spark, sf):
+    return EV.sliding_counts(_t(spark, sf, "events"))
+
+
+@q(
     "e02_user_sessions",
     "WITH flagged AS ("
     "  SELECT user_id, ts, value,"

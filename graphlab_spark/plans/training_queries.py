@@ -566,6 +566,7 @@ reorder_registry_last(
     [
         "a03_ilike_search",
         "a15_anti_join_new_only",
+        "e04_sliding_window_counts",
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",
         "s02_ann_lsh_topk",

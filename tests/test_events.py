@@ -78,3 +78,13 @@ def test_windowed_counts_plan_is_partial_agg(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "partial" in plan.lower()
     assert plan.lower().count("exchange") <= 2  # agg exchange (+AQE read)
+
+
+def test_sliding_counts_overlap_factor(spark):
+    """Each event lands in exactly width/slide = 4 overlapping windows."""
+    from graphlab_spark.operators.events import sliding_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_events = ev.count()
+    total = sliding_counts(ev).agg(F.sum("n_events")).collect()[0][0]
+    assert total == 4 * n_events
