@@ -14,7 +14,11 @@ Headline set:
 - text_stats       — token/quality/lang/fingerprint single-pass.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_PAGES overrides corpus size.
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_PAGES overrides corpus size,
+     SPARK_GRAFT_BENCH_REPS (default 2) — per-query repetitions, MIN
+     reported: host steal-time on this sandbox fluctuates ~2x minute to
+     minute (BENCH/BASELINE.md), so the quiet-window wall is the signal.
+     Every timed region is read-only, so repetition is side-effect-free.
 """
 
 from __future__ import annotations
@@ -61,10 +65,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
     def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        out = None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            w = time.time() - t0
+            best = w if best is None or w < best else best
+        timings[name] = round(best, 3)
         return out
 
     # Untimed warm-up at full size: the first heavy job in a fresh JVM

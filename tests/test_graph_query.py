@@ -101,3 +101,27 @@ def test_pagerank_reclaims_iteration_scratch(spark, edges):
     pagerank(edges, n_iter=5, driver_max_nodes=0).count()
     new = set(glob.glob(f"{scratch_dir()}/pr_*")) - before
     assert len(new) <= 1, new  # only the returned final iteration
+
+
+def test_pagerank_loop_has_no_driver_sync():
+    """r2 verdict: the distributed loop must not collect() per iteration
+    (each is a full-job barrier on a real cluster). The dangling mass is
+    a 1-row broadcast frame computed inside the rank-update job."""
+    import ast
+    import inspect
+
+    from graphlab_spark.operators import graph_query
+
+    src = inspect.getsource(graph_query.pagerank)
+    tree = ast.parse(src)
+    fn = tree.body[0]
+    loops = [n for n in ast.walk(fn) if isinstance(n, ast.For)]
+    assert loops, "expected the iteration loop"
+    for loop in loops:
+        calls = [
+            n.func.attr
+            for n in ast.walk(loop)
+            if isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
+        ]
+        assert "collect" not in calls, "driver sync inside the PageRank loop"
+        assert "count" not in calls, "driver sync inside the PageRank loop"
