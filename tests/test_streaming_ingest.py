@@ -189,3 +189,94 @@ def test_bridge_surface_across_increments(spark, tmp_path):
         "Quantumflux Research Labs", "Quantumflux Research Lab"
     }
     assert n_mentions == 2
+
+
+def test_stats_rebuild_equals_one_shot_for_any_split(spark):
+    """Algebraic pin for the drift-free ingest: for ANY k-way split of
+    the mention/triple streams, combining per-part SURFACE stats and
+    rebuilding via nodes_from_stats/edges_from_stats equals build_nodes/
+    build_edges over the whole stream (same entity map). This is the
+    associativity property the streaming commit relies on, tested
+    without the streaming machinery."""
+    from graphlab_spark.operators import materialize as M
+
+    mrows = [
+        (f"u{i}", f"S{i % 7}", "ORG" if i % 3 else "UNK", 0.5)
+        for i in range(60)
+    ]
+    trows = [
+        (f"S{i % 7}", f"p{i % 4}", f"S{(i + 2) % 7}", f"u{i}", 0.25 + (i % 3) / 10)
+        for i in range(60)
+    ]
+    mentions = spark.createDataFrame(
+        mrows, "url string, surface string, m_type string, conf double"
+    )
+    triples = spark.createDataFrame(
+        trows, "subj string, pred string, obj string, url string, conf double"
+    )
+    emap = spark.createDataFrame(
+        [(f"S{k}", f"ent:{k % 4}") for k in range(7)],  # several surfaces per entity
+        "surface string, entity_id string",
+    )
+
+    def _norm(v):
+        if isinstance(v, list):
+            return tuple(v)
+        if isinstance(v, float):
+            return round(v, 6)  # float sums are order-dependent (IEEE)
+        return v
+
+    def _rows(df):
+        return {tuple(_norm(v) for v in r) for r in df.collect()}
+
+    one_shot_nodes = _rows(
+        M.build_nodes(
+            mentions.join(emap, "surface").selectExpr(
+                "entity_id as canonical_id", "surface", "m_type"
+            )
+        )
+    )
+    t = (
+        triples.join(emap.withColumnRenamed("surface", "subj"), "subj")
+        .withColumnRenamed("entity_id", "subj_id")
+        .join(emap.withColumnRenamed("surface", "obj"), "obj")
+        .withColumnRenamed("entity_id", "obj_id")
+    )
+    one_shot_edges = _rows(
+        M.build_edges(t.select("subj_id", "pred", "obj_id", "url", "conf"))
+    )
+
+    for k in (1, 2, 5):
+        # combine per-part stats with the SAME algebra the committer uses
+        parts_m = [
+            M.mention_stats_frame(mentions.filter(F.col("url").substr(2, 9).cast("int") % k == j))
+            for j in range(k)
+        ]
+        parts_t = [
+            M.triple_stats_frame(triples.filter(F.col("url").substr(2, 9).cast("int") % k == j))
+            for j in range(k)
+        ]
+
+        def _combine(parts, keys, combine):
+            acc = parts[0]
+            for p in parts[1:]:
+                cols = [c for c in acc.columns if c not in keys]
+                joined = acc.alias("e").join(p.alias("i"), keys, "full")
+                acc = joined.select(
+                    *keys,
+                    *[
+                        F.when(F.col(f"e.{c}").isNull(), F.col(f"i.{c}"))
+                        .when(F.col(f"i.{c}").isNull(), F.col(f"e.{c}"))
+                        .otherwise(combine[c](F.col(f"e.{c}"), F.col(f"i.{c}")))
+                        .alias(c)
+                        for c in cols
+                    ],
+                )
+            return acc
+
+        mstats = _combine(parts_m, ["surface", "m_type"], M.MENTION_STATS_COMBINE)
+        tstats = _combine(parts_t, ["subj", "pred", "obj"], M.edges_combine())
+        got_nodes = _rows(M.nodes_from_stats(mstats, emap))
+        got_edges = _rows(M.edges_from_stats(tstats, emap))
+        assert got_nodes == one_shot_nodes, f"nodes mismatch at k={k}"
+        assert got_edges == one_shot_edges, f"edges mismatch at k={k}"
