@@ -178,6 +178,54 @@ def main() -> None:
         p[:600],
     )
 
+    # 8. e04 sliding rollup: map-side partial aggregation, one exchange —
+    # the overlap explode must not defeat the partial combine
+    p = plan_of(REGISTRY["e04_sliding_window_counts"].fn(spark, sf_dir))
+    ok_all &= check(
+        "e04 sliding rollup partial-aggregates map-side", "partial_" in p.lower()
+    )
+    ok_all &= check(
+        "e04 sliding rollup single agg exchange", p.count("Exchange hashpartitioning") <= 1
+    )
+
+    # 9. streaming stats-rebuild plans (drift-free ingest): entity join +
+    # re-aggregate carries no forced broadcast and no cartesian — the
+    # entity map is vocabulary-sized, strategy is AQE's call
+    from graphlab_spark.operators import materialize as M
+
+    mstats = spark.createDataFrame(
+        [(f"S{i}", "ORG", i + 1) for i in range(50)], "surface string, m_type string, n long"
+    )
+    tstats = spark.createDataFrame(
+        [(f"S{i}", "p", f"S{(i + 1) % 50}", 2, [f"u{i}"], 0.5) for i in range(50)],
+        "subj string, pred string, obj string, n_evidence long, "
+        "evidence array<string>, weight double",
+    )
+    emap = spark.createDataFrame(
+        [(f"S{i}", f"e{i % 9}") for i in range(50)], "surface string, entity_id string"
+    )
+    for nm, df in [
+        ("nodes_from_stats", M.nodes_from_stats(mstats, emap)),
+        ("edges_from_stats", M.edges_from_stats(tstats, emap)),
+    ]:
+        p = plan_of(df)
+        ok_all &= check(f"{nm} no CartesianProduct", "CartesianProduct" not in p)
+        ok_all &= check(
+            f"{nm} no forced broadcast hint",
+            "ResolvedHint" not in p and "broadcast" not in plan_of(df).split("== Physical")[0],
+        )
+
+    # 10. PageRank iteration: the dangling-mass scalar enters the rank
+    # update as a broadcast 1-row frame (no mid-loop driver collect — the
+    # loop body is also AST-checked in tests/test_graph_query.py)
+    edges_df = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 40}") for i in range(60)], "src string, dst string"
+    )
+    from graphlab_spark.operators.graph_query import pagerank
+
+    pr = pagerank(edges_df, n_iter=2, driver_max_nodes=0)  # force distributed path
+    ok_all &= check("pagerank distributed path produces ranks", pr.count() > 0)
+
     print("\nAUDIT", "PASS" if ok_all else "HAS WARNINGS")
     sys.exit(0 if ok_all else 1)
 
