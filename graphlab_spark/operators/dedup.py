@@ -336,3 +336,47 @@ def with_planted_near_dups(docs: DataFrame, every: int = 10, offset: int = 10_00
         (F.col("n_chars") + 8).alias("n_chars"),
     )
     return docs.unionByName(copies)
+
+
+# --------------------------------------------- fuzzy-dedup retention
+
+def neardup_keepers(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Retention step of fuzzy dedup: (doc_id, keeper) where keeper is
+    the MIN id of the doc's connected component in the near-dup pair
+    graph (``pairs(a, b)``), and a doc in no pair keeps itself.
+    Downstream keeps rows WHERE doc_id = keeper — near-dup CLUSTERS
+    collapse to one survivor even when similarity is not transitive
+    pairwise (a~b, b~c but a≁c still share one keeper).
+
+    Reuses the scale-adaptive ``canonicalize.connected_components``
+    (driver union-find at vocabulary size, distributed min-label
+    propagation above). Ids are zero-padded to 12 digits for the string
+    component labels so lexical min == numeric min (requires
+    non-negative ids < 10^12 — the synthetic planted offset fits).
+
+    At scale: feed ``minhash_lsh_pairs`` output here; the oracled
+    registry entry (d07) uses ``jaccard_pairs_exact`` so DuckDB can
+    mirror it with a recursive transitive closure.
+    """
+    from graphlab_spark.operators.canonicalize import connected_components
+
+    def pad(c):
+        return F.lpad(c.cast("string"), 12, "0")
+
+    comp = connected_components(
+        pairs.select(pad(F.col("a")).alias("a"), pad(F.col("b")).alias("b"))
+    )
+    return (
+        docs.select(id_col)
+        .join(
+            comp.withColumnRenamed("item_id", "_pid"),
+            pad(F.col(id_col)) == F.col("_pid"),
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("component_id").cast("long"), F.col(id_col)).alias(
+                "keeper"
+            ),
+        )
+    )

@@ -164,6 +164,45 @@ def d05(spark, sf):
     return DD.simhash_near_pairs(planted, max_hamming=3)
 
 
+_D03_PAIRS = (
+    "SELECT a.doc_id AS a, b.doc_id AS b "
+    f"FROM (SELECT doc_id, {_SHINGLES} AS sh FROM {_PLANTED_SUBSET}) a "
+    f"JOIN (SELECT doc_id, {_SHINGLES} AS sh FROM {_PLANTED_SUBSET}) b "
+    "ON a.doc_id < b.doc_id "
+    "WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / "
+    "len(list_distinct(a.sh || b.sh)) >= 0.8"
+)
+
+
+@q(
+    "d07_neardup_keepers",
+    # fuzzy-dedup retention: keeper = min doc_id of the connected
+    # component in the exact near-dup pair graph (docs in no pair keep
+    # themselves). DuckDB mirrors the components with a recursive
+    # transitive closure (components here are tiny planted clusters).
+    "WITH RECURSIVE "
+    f"p AS ({_D03_PAIRS}), "
+    "und AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), "
+    "reach(src, dst) AS ("
+    " SELECT a AS src, b AS dst FROM und "
+    " UNION "
+    " SELECT r.src, u.b AS dst FROM reach r JOIN und u ON r.dst = u.a), "
+    "comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS keeper "
+    " FROM reach GROUP BY src) "
+    "SELECT d.doc_id, COALESCE(c.keeper, d.doc_id) AS keeper "
+    f"FROM (SELECT doc_id FROM {_PLANTED_SUBSET}) d "
+    "LEFT JOIN comp c USING (doc_id)",
+    "fuzzy-dedup retention: connected components over near-dup pairs → "
+    "min-id keeper per cluster (scale path feeds minhash_lsh_pairs into "
+    "the same operator)",
+)
+def d07(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    planted = DD.with_planted_near_dups(docs)
+    pairs = DD.jaccard_pairs_exact(planted, threshold=0.8)
+    return DD.neardup_keepers(planted, pairs)
+
+
 @q(
     "d06_embedding_near_dup",
     "SELECT a.vec_id AS a, b.vec_id AS b, "
@@ -567,6 +606,7 @@ reorder_registry_last(
         "a03_ilike_search",
         "a15_anti_join_new_only",
         "e04_sliding_window_counts",
+        "d07_neardup_keepers",
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",
         "s02_ann_lsh_topk",

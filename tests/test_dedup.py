@@ -93,3 +93,18 @@ def test_shingled_equals_shingles_col(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_neardup_keepers_clusters_and_singletons(spark):
+    """Keeper = min id of the pair-graph component, including chains
+    where similarity is not pairwise-transitive (10~20, 20~30 but no
+    10~30 edge); docs in no pair keep themselves; numeric min (not
+    lexical: 9 vs 10 ordering)."""
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.operators.dedup import neardup_keepers
+
+    docs = spark.createDataFrame([(i,) for i in (9, 10, 20, 30, 77)], "doc_id long")
+    pairs = spark.createDataFrame([(10, 20), (20, 30)], "a long, b long")
+    got = {r.doc_id: r.keeper for r in neardup_keepers(docs, pairs).collect()}
+    assert got == {9: 9, 10: 10, 20: 10, 30: 10, 77: 77}

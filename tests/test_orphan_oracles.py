@@ -44,6 +44,7 @@ def test_cap_split_is_intentional():
         "a03_ilike_search",
         "a15_anti_join_new_only",
         "e04_sliding_window_counts",
+        "d07_neardup_keepers",
     }
     beyond = set(names[DRIVER_CAP:])
     assert {n for n in beyond if n in oracles} <= parked_oracled

@@ -280,3 +280,63 @@ def test_stats_rebuild_equals_one_shot_for_any_split(spark):
         got_edges = _rows(M.edges_from_stats(tstats, emap))
         assert got_nodes == one_shot_nodes, f"nodes mismatch at k={k}"
         assert got_edges == one_shot_edges, f"edges mismatch at k={k}"
+
+
+def test_bridge_surfaces_distributed_vocab_path(spark, tmp_path, monkeypatch):
+    """Same cross-increment bridge scenario, but with the driver fast
+    path disabled (SPARK_GRAFT_VOCAB_DRIVER_MAX=0) so BOTH the per-batch
+    rebuild and the one-shot reference run the fully DISTRIBUTED
+    link+canonicalize — the 100 TB path must satisfy the same exact
+    incremental ≡ one-shot contract."""
+    import datetime as dt
+
+    import pandas as pd
+
+    monkeypatch.setenv("SPARK_GRAFT_VOCAB_DRIVER_MAX", "0")
+
+    in_dir = str(tmp_path / "in_brd")
+    out_dir = str(tmp_path / "out_brd")
+    ckpt = str(tmp_path / "ckpt_brd")
+    os.makedirs(in_dir)
+    aliases = corpus.alias_df(spark)
+    epoch = dt.datetime(2024, 1, 1)
+
+    def _page(i, body):
+        return {
+            "url": f"https://example.org/bridged/{i}",
+            "warc_ts": epoch + dt.timedelta(seconds=i),
+            "html": f"<html><body><p>{body}</p></body></html>".encode(),
+            "text": None,
+            "lang": "en",
+        }
+
+    inc1 = [_page(1, "Quantumflux Research Labs announced a partnership today.")]
+    inc2 = [_page(2, "Quantumflux Research Lab published new results yesterday.")]
+    for inc in (inc1, inc2):
+        spark.createDataFrame(pd.DataFrame(inc), corpus.PAGES_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    q = start_ingest(
+        spark, read_pages_stream(spark, in_dir, max_files_per_trigger=1),
+        aliases, out_dir, ckpt,
+    )
+    q.awaitTermination(300)
+
+    nodes = spark.read.parquet(f"{out_dir}/nodes")
+    got = {
+        (r.id, tuple(r.aliases), r.n_mentions)
+        for r in nodes.filter(F.col("id").startswith("unk:quantumflux")).collect()
+    }
+    from graphlab_spark.plans.pipeline import run_pipeline_in_memory
+
+    pages = spark.createDataFrame(pd.DataFrame(inc1 + inc2), corpus.PAGES_SCHEMA)
+    batch = run_pipeline_in_memory(spark, pages, aliases, vocab_driver_max=0)
+    want = {
+        (r.id, tuple(r.aliases), r.n_mentions)
+        for r in batch["nodes"].filter(
+            F.col("id").startswith("unk:quantumflux")
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 1  # distributed canonicalization merged the bridge too
