@@ -73,6 +73,24 @@ def windowed_counts_stream(
     return windowed_counts(ltz.withWatermark("ts", watermark), width)
 
 
+def sliding_counts_stream(
+    events_stream: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked SLIDING-window aggregation plan (append mode): the
+    streaming twin of :func:`operators.events.sliding_counts` (batch
+    oracle: e04). Each event contributes to width/slide overlapping
+    windows; a window still finalizes exactly once when the watermark
+    passes ITS end — overlapping windows close one slide apart. Same
+    TIMESTAMP cast caveat as :func:`windowed_counts_stream`."""
+    from graphlab_spark.operators.events import sliding_counts
+
+    ltz = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sliding_counts(ltz.withWatermark("ts", watermark), width, slide)
+
+
 def start_windowed_rollup(
     spark: SparkSession,
     events_stream: DataFrame,

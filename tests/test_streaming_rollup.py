@@ -181,3 +181,58 @@ def test_rollup_reclaims_scratch(spark, tmp_path):
     q.awaitTermination(180)
     new = set(glob.glob(f"{scratch_dir()}/merge_*")) - before
     assert new == set(), new  # this query's merge scratch fully reclaimed
+
+
+def test_sliding_stream_finalizes_overlapping_windows(spark, tmp_path):
+    """Sliding streaming twin of e04: overlapping windows finalize one
+    slide apart as the watermark advances; each event lands in
+    width/slide finalized windows once fully closed."""
+    from graphlab_spark.streaming.rollup import sliding_counts_stream
+
+    in_dir, ckpt = str(tmp_path / "sl"), str(tmp_path / "slckpt")
+    os.makedirs(in_dir)
+    emit = str(tmp_path / "sl_emit")
+
+    def _write(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def _run():
+        def sink(df, _bid):
+            if not df.isEmpty():
+                df.write.mode("append").parquet(emit)
+
+        q = (
+            sliding_counts_stream(
+                read_events_stream(spark, in_dir),
+                width="1 hour", slide="15 minutes", watermark="30 minutes",
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if not os.path.exists(emit):
+            return set()
+        return {tuple(r) for r in spark.read.parquet(emit).collect()}
+
+    # one event at 00:10; a second far-future event pushes the watermark
+    # beyond every window containing the first, closing all 4 overlaps
+    _write(
+        [
+            (0, T0 + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+            (1, T0 + dt.timedelta(minutes=300), 1, "view", 2.0, "{}"),
+        ]
+    )
+    got = _run()
+    click_windows = sorted(w for (w, et, n, sv) in got if et == "click")
+    # event at 00:10 belongs to windows starting 23:15..00:00 of the
+    # 15-min grid: exactly width/slide = 4 windows, one slide apart
+    assert click_windows == [
+        "2023-12-31 23:15:00",
+        "2023-12-31 23:30:00",
+        "2023-12-31 23:45:00",
+        "2024-01-01 00:00:00",
+    ]
+    assert all(n == 1 and sv == 1.0 for (w, et, n, sv) in got if et == "click")
