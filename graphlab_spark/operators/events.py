@@ -81,6 +81,32 @@ def sliding_counts(
     )
 
 
+def value_percentiles(
+    events: DataFrame,
+    ps: tuple = (0.5, 0.95, 0.99),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-event-type value percentiles (p50/p95/p99 — the latency/size
+    distribution surface every rollup dashboard needs).
+
+    ``exact=True`` uses Spark's exact ``percentile`` aggregate (linear
+    interpolation — bit-matches DuckDB ``quantile_cont``, the oracle).
+    Exact percentile buffers each group's values — fine while a single
+    group fits an executor. At 100 TB use ``exact=False``:
+    ``approx_percentile`` (t-digest-style sketch) is mergeable map-side
+    like any partial aggregate, O(accuracy) memory per group; its error
+    bound vs exact is pinned by test_events.py.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
+    aggs = [
+        F.round(F.expr(f"{fn}(value, {p}{extra})"), 4).alias(f"p{int(p * 100)}")
+        for p in ps
+    ]
+    return events.groupBy("event_type").agg(*aggs)
+
+
 def sessionize(
     events: DataFrame, gap: str = "30 minutes", rounded: bool = True
 ) -> DataFrame:

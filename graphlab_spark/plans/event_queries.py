@@ -68,6 +68,19 @@ def e02(spark, sf):
 
 
 @q(
+    "e05_value_percentiles",
+    "SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS p50, "
+    "ROUND(quantile_cont(value, 0.95), 4) AS p95, "
+    "ROUND(quantile_cont(value, 0.99), 4) AS p99 "
+    "FROM events GROUP BY event_type",
+    "per-type value percentiles: exact linear-interpolation percentile "
+    "(≡ quantile_cont); approx_percentile is the mergeable 100-TB path",
+)
+def e05(spark, sf):
+    return EV.value_percentiles(_t(spark, sf, "events"))
+
+
+@q(
     "e03_props_json_stats",
     "SELECT event_type, COUNT(*) AS n,"
     " ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 2) AS avg_k,"

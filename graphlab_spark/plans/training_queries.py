@@ -606,6 +606,7 @@ reorder_registry_last(
         "a03_ilike_search",
         "a15_anti_join_new_only",
         "e04_sliding_window_counts",
+        "e05_value_percentiles",
         "d07_neardup_keepers",
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",

@@ -88,3 +88,35 @@ def test_sliding_counts_overlap_factor(spark):
     n_events = ev.count()
     total = sliding_counts(ev).agg(F.sum("n_events")).collect()[0][0]
     assert total == 4 * n_events
+
+
+def test_value_percentiles_exact_vs_approx(spark):
+    """approx_percentile (the mergeable 100-TB path) returns an order
+    statistic whose EMPIRICAL RANK is within a small band of the target
+    quantile — the right bound (a value-distance band breaks on sparse
+    tails, where exact interpolates between distant points)."""
+    from graphlab_spark.operators.events import value_percentiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    approx = {
+        r.event_type: (r.p50, r.p95, r.p99)
+        for r in value_percentiles(ev, exact=False, accuracy=10000).collect()
+    }
+    rows = ev.select("event_type", "value").collect()
+    by_type: dict = {}
+    for r in rows:
+        if r.value is not None:
+            by_type.setdefault(r.event_type, []).append(r.value)
+    assert set(approx) == set(by_type)
+    for et, (a50, a95, a99) in approx.items():
+        vals = sorted(by_type[et])
+        n = len(vals)
+        for target, a in [(0.5, a50), (0.95, a95), (0.99, a99)]:
+            rank_le = sum(1 for v in vals if v <= a) / n
+            rank_lt = sum(1 for v in vals if v < a) / n
+            # the empirical quantile interval covering `a` must overlap
+            # [target - slack, target + slack]; slack covers sketch error
+            # plus the 1/n discrete mass of tiny groups
+            slack = 0.02 + 1.0 / n
+            assert rank_le >= target - slack and rank_lt <= target + slack, (
+                et, target, a, rank_lt, rank_le)

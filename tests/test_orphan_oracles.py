@@ -44,6 +44,7 @@ def test_cap_split_is_intentional():
         "a03_ilike_search",
         "a15_anti_join_new_only",
         "e04_sliding_window_counts",
+        "e05_value_percentiles",
         "d07_neardup_keepers",
     }
     beyond = set(names[DRIVER_CAP:])
