@@ -380,3 +380,34 @@ def neardup_keepers(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -
             ),
         )
     )
+
+
+# --------------------------------------------- benchmark decontamination
+
+def contaminated_docs(
+    docs: DataFrame, bench_docs: DataFrame, n: int = 13
+) -> DataFrame:
+    """Benchmark-contamination flagging for training corpora: a doc is
+    contaminated when it shares ANY token ``n``-gram with a document of
+    the held-out benchmark set (the classic 13-gram decontamination
+    rule). Returns (doc_id, n_hits) for contaminated docs only.
+
+    Scale shape: both sides shingle via the hoisted ``shingled``
+    projection; grams are prehashed JVM-side (``xxhash64``) so the join
+    key is 8 bytes, not a string; the benchmark gram set is the SMALL
+    side (benchmarks are thousands of docs, the corpus 10^12) — AQE
+    broadcasts it, the corpus never shuffles. n_hits counts DISTINCT
+    shared grams per doc.
+    """
+    def gram_hashes(frame):
+        return shingled(frame, n=n).select(
+            "doc_id", F.explode("sh").alias("g")
+        ).select("doc_id", F.xxhash64("g").alias("gh"))
+
+    bench_grams = gram_hashes(bench_docs).select("gh").distinct()
+    return (
+        gram_hashes(docs)
+        .join(bench_grams, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n_hits"))
+    )

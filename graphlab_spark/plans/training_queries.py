@@ -349,6 +349,40 @@ def m04(spark, sf):
     )
 
 
+_G13 = (
+    "list_transform(generate_series(0, greatest(len({t}) - 13, 0)), "
+    "i -> array_to_string({t}[i + 1 : i + 13], ' '))"
+).format(t=_TOKS)
+_COPIES = (
+    "(SELECT doc_id + 10000000 AS doc_id, text || ' zq0 zq1' AS text "
+    "FROM documents WHERE doc_id < 500 AND doc_id % 10 = 0)"
+)
+
+
+@q(
+    "t08_benchmark_contamination",
+    # benchmark = docs 0..99; corpus = planted near-copies — each copy of
+    # a benchmark doc shares its long token spans ⇒ contaminated.
+    "WITH b AS (SELECT DISTINCT g FROM "
+    f" (SELECT unnest({_G13}) AS g FROM documents WHERE doc_id < 100)), "
+    "c AS (SELECT doc_id, unnest(list_distinct("
+    f"{_G13.replace('text', 'text')})) AS g FROM {_COPIES}) "
+    "SELECT doc_id, CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_hits "
+    "FROM c JOIN b ON c.g = b.g GROUP BY doc_id",
+    "benchmark decontamination: flag corpus docs sharing any token "
+    "13-gram with the held-out benchmark set (classic decontamination "
+    "rule); JVM xxhash64 gram join, benchmark side broadcast",
+)
+def t08(spark, sf):
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    copies = docs.filter((F.col("doc_id") < 500) & (F.col("doc_id") % 10 == 0)).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq0 zq1")).alias("text"),
+    )
+    return DD.contaminated_docs(copies, bench, n=13)
+
+
 @q(
     "t07_winnowing_fp",
     TS.winnow_fp_sql(),
@@ -608,6 +642,7 @@ reorder_registry_last(
         "e04_sliding_window_counts",
         "e05_value_percentiles",
         "d07_neardup_keepers",
+        "t08_benchmark_contamination",
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",
         "s02_ann_lsh_topk",

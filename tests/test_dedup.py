@@ -108,3 +108,24 @@ def test_neardup_keepers_clusters_and_singletons(spark):
     pairs = spark.createDataFrame([(10, 20), (20, 30)], "a long, b long")
     got = {r.doc_id: r.keeper for r in neardup_keepers(docs, pairs).collect()}
     assert got == {9: 9, 10: 10, 20: 10, 30: 10, 77: 77}
+
+
+def test_contaminated_docs_flags_only_overlaps(spark):
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.operators.dedup import contaminated_docs
+
+    long_a = " ".join(f"w{i}" for i in range(30))
+    long_b = " ".join(f"x{i}" for i in range(30))
+    bench = spark.createDataFrame([(1, long_a)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (100, long_a + " extra tail tokens"),  # shares 13-grams → flagged
+            (101, long_b),                          # disjoint → clean
+            (102, " ".join(f"w{i}" for i in range(12))),  # too short to share a 13-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in contaminated_docs(corpus, bench, n=13).collect()}
+    assert set(got) == {100}
+    assert got[100] == 18  # 30-token doc shares all 18 of bench's 13-grams

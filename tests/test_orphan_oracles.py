@@ -46,6 +46,7 @@ def test_cap_split_is_intentional():
         "e04_sliding_window_counts",
         "e05_value_percentiles",
         "d07_neardup_keepers",
+        "t08_benchmark_contamination",
     }
     beyond = set(names[DRIVER_CAP:])
     assert {n for n in beyond if n in oracles} <= parked_oracled
