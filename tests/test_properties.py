@@ -76,3 +76,47 @@ def test_union_find_canonical_is_component_min(pairs):
     # connectivity: every edge's endpoints share a root
     for a, b in edges:
         assert mapping[a] == mapping[b]
+
+
+@given(TEXT)
+@settings(max_examples=300, deadline=None)
+def test_find_mentions_spans_are_valid_and_ordered(s):
+    """Every mention's span indexes real text, surface == text[start:end],
+    and output is sorted by (start, end) — over arbitrary text."""
+    from graphlab_spark.operators.mentions import build_alias_map, find_mentions
+
+    amap = build_alias_map(
+        iter(
+            [
+                {"alias": "Acme Systems", "canonical_id": "org:acme", "entity_type": "ORG"},
+                {"alias": "J. Smith", "canonical_id": "per:smith", "entity_type": "PER"},
+            ]
+        )
+    )
+    out = find_mentions(s, amap)
+    prev = (-1, -1)
+    for m in out:
+        assert 0 <= m["start"] < m["end"] <= len(s)
+        assert m["surface"] == s[m["start"]:m["end"]]
+        assert m["m_type"] in ("ORG", "PER", "UNK")
+        assert (m["start"], m["end"]) >= prev
+        prev = (m["start"], m["end"])
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pagerank_driver_invariants(pairs):
+    """Ranks are positive and sum to 1 (dangling mass fully
+    redistributed) for arbitrary directed graphs."""
+    from graphlab_spark.operators.graph_query import _pagerank_driver
+
+    edges = [(f"n{a}", f"n{b}") for a, b in pairs]
+    ranks = _pagerank_driver(edges, damping=0.85, n_iter=20)
+    assert all(r > 0 for _, r in ranks)
+    assert abs(sum(r for _, r in ranks) - 1.0) < 1e-9
