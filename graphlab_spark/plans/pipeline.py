@@ -442,11 +442,21 @@ def run_pipeline(
     run_id: str = "run-1",
     link_threshold: float = _linking.DEFAULT_THRESHOLD,
     jaccard_dist: float = _canon.DEFAULT_JACCARD_DIST,
+    publish_bucketed: str | None = None,
+    n_buckets: int = 256,
 ) -> dict[str, DataFrame]:
     """Full pipeline with per-bucket lineage + resume. Returns the
     materialized DataFrames per stage. Stages stay SEPARATE here (unlike
     the fused in-memory flavor) because each is a resume point with its
-    own manifest rows — the C12 contract."""
+    own manifest rows — the C12 contract.
+
+    ``publish_bucketed``: optional catalog database name — after the
+    edges stage, ALSO publish the graph as bucketed tables
+    ``{db}.nodes`` (by id) / ``{db}.edges`` (by src) via
+    ``sources.bucketed.materialize_graph_bucketed``: the write-once-
+    shuffle layout where every downstream node⋈edge join plans with
+    zero Exchange. The returned dict then carries the catalog-backed
+    frames under ``nodes_bucketed`` / ``edges_bucketed``."""
     manifest = Manifest(spark, f"{out_dir}/manifest")
     alias_rows = _linking.collect_alias_rows(aliases)
     alias_map = build_alias_map(alias_rows)
@@ -517,7 +527,7 @@ def run_pipeline(
         spark, manifest, run_id, "edges", _edges, f"{out_dir}/edges", input_fp=out_fp
     )
 
-    return {
+    result = {
         "docs": docs,
         "mentions": mentions,
         "triples": triples,
@@ -527,3 +537,12 @@ def run_pipeline(
         "edges": edges,
         "manifest": manifest.read(),
     }
+    if publish_bucketed is not None:
+        from graphlab_spark.sources.bucketed import materialize_graph_bucketed
+
+        nb, eb = materialize_graph_bucketed(
+            spark, nodes, edges, publish_bucketed, n_buckets=n_buckets
+        )
+        result["nodes_bucketed"] = nb
+        result["edges_bucketed"] = eb
+    return result

@@ -82,3 +82,30 @@ def test_bucketed_name_guard(spark):
         write_bucketed(df, "t", ["id'); --"])
     with pytest.raises(ValueError):
         materialize_graph_bucketed(spark, df, df, "db", location="/p'; DROP--")
+
+
+def test_pipeline_publish_bucketed(spark, tmp_path, no_broadcast):
+    """run_pipeline(publish_bucketed=...) publishes the SAME graph as
+    co-partitioned catalog tables: row sets equal the path-based output
+    and the node⋈edge join over the published tables plans with zero
+    Exchange."""
+    from graphlab_spark.plans.pipeline import run_pipeline
+    from graphlab_spark.sources import corpus
+
+    pages = corpus.generate_pages(spark, 60)
+    res = run_pipeline(
+        spark, pages, corpus.alias_df(spark), str(tmp_path / "pb"),
+        publish_bucketed="pubgraph", n_buckets=8,
+    )
+    try:
+        nb, eb = res["nodes_bucketed"], res["edges_bucketed"]
+        assert {tuple(r) for r in nb.select("id").collect()} == {
+            tuple(r) for r in res["nodes"].select("id").collect()
+        }
+        assert eb.count() == res["edges"].count()
+        joined = eb.join(nb, eb.src == nb.id)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS pubgraph CASCADE")
