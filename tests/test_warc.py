@@ -1,0 +1,64 @@
+"""WARC source reader: ISO 28500 record parsing (plain + gzip),
+response-only filtering, and end-to-end flow into the extraction stage."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from graphlab_spark.sources.warc import parse_warc_bytes, read_warc
+
+
+def _record(rtype: str, url: str, date: str, payload: bytes, extra: str = "") -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+    hdr = (
+        f"WARC/1.0\r\nWARC-Type: {rtype}\r\nWARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n{extra}Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return hdr + http + b"\r\n\r\n"
+
+
+HTML_A = b"<html><body><p>Hello WARC world.</p></body></html>"
+HTML_B = b"<html><body><p>Second page text.</p></body></html>"
+
+
+def _warc_bytes() -> bytes:
+    return (
+        _record("request", "https://ex.org/a", "2024-03-01T00:00:00Z", b"GET /")
+        + _record("response", "https://ex.org/a", "2024-03-01T00:00:01Z", HTML_A)
+        + _record(
+            "response", "https://ex.org/b", "2024-03-01T00:00:02Z", HTML_B,
+            extra="WARC-Identified-Content-Language: en\r\n",
+        )
+    )
+
+
+def test_parse_warc_bytes_plain_and_gzip():
+    for raw in (_warc_bytes(), gzip.compress(_warc_bytes())):
+        rows = parse_warc_bytes(raw)
+        assert [r["url"] for r in rows] == ["https://ex.org/a", "https://ex.org/b"]
+        assert rows[0]["html"] == HTML_A  # exact payload bytes, HTTP headers stripped
+        assert rows[1]["html"] == HTML_B
+        assert rows[0]["lang"] == "und" and rows[1]["lang"] == "en"
+        assert rows[0]["warc_ts"].isoformat() == "2024-03-01T00:00:01"
+
+
+def test_read_warc_feeds_extraction(spark, tmp_path):
+    # multi-member gzip: one member per record, as Common Crawl writes it
+    members = (
+        gzip.compress(_record("response", "https://ex.org/a", "2024-03-01T00:00:01Z", HTML_A))
+        + gzip.compress(_record("response", "https://ex.org/b", "2024-03-01T00:00:02Z", HTML_B))
+    )
+    p = tmp_path / "seg-00000.warc.gz"
+    p.write_bytes(members)
+
+    from graphlab_spark.operators.extract import extract_stage
+
+    pages = read_warc(spark, str(p), default_lang="en")
+    docs = extract_stage(pages)
+    got = {r.url: r.text for r in docs.collect()}
+    assert got == {
+        "https://ex.org/a": "Hello WARC world.",
+        "https://ex.org/b": "Second page text.",
+    }
