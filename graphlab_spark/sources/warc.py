@@ -91,6 +91,26 @@ def parse_warc_bytes(data: bytes, default_lang: str = "und") -> list[dict]:
     return out
 
 
+def backfill_lang(docs: DataFrame, lang_col: str = "lang", text_col: str = "text") -> DataFrame:
+    """Fill unidentified languages ('und' / NULL) with the n-gram
+    marker-word language-ID over the EXTRACTED text (functions.textstats
+    — JVM column expression, no Python). Use after ``extract_stage`` on
+    WARC-ingested pages: Common-Crawl language metadata is often absent,
+    and the pipeline gates triple extraction on ``lang``. Rows whose
+    source declared a language are untouched."""
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.functions.textstats import lang_id_col
+
+    declared = F.col(lang_col)
+    return docs.withColumn(
+        lang_col,
+        F.when(
+            declared.isNull() | (declared == "und"), lang_id_col(text_col)
+        ).otherwise(declared),
+    )
+
+
 def read_warc(
     spark: SparkSession, path_glob: str, default_lang: str = "und"
 ) -> DataFrame:

@@ -62,3 +62,20 @@ def test_read_warc_feeds_extraction(spark, tmp_path):
         "https://ex.org/a": "Hello WARC world.",
         "https://ex.org/b": "Second page text.",
     }
+
+
+def test_backfill_lang_only_touches_und(spark, tmp_path):
+    from graphlab_spark.sources.warc import backfill_lang
+
+    docs = spark.createDataFrame(
+        [
+            ("u1", "the quick brown fox and the lazy dog with many the words", "und"),
+            ("u2", "der schnelle braune fuchs und der hund mit einer katze", None),
+            ("u3", "whatever text", "fr"),  # declared → untouched
+        ],
+        "url string, text string, lang string",
+    )
+    got = {r.url: r.lang for r in backfill_lang(docs).collect()}
+    assert got["u1"] == "en"
+    assert got["u2"] == "de"
+    assert got["u3"] == "fr"
