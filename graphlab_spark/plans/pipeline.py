@@ -150,7 +150,11 @@ def run_stage(
                 fs.delete(f"{out_path}/{name}")
 
     pending = keyed if not keep else keyed.filter(~F.col("partition_id").isin(keep))
-    if pending.isEmpty():
+    # nothing-pending fast path requires some carried-over output on disk:
+    # with keep empty AND pending empty (an EMPTY input), fall through so
+    # the (empty) write re-establishes the table schema instead of
+    # reading a partitionless directory
+    if keep and pending.isEmpty():
         return spark.read.parquet(out_path).drop("partition_id")
 
     out_df = compute_fn(pending.drop("partition_id"))
@@ -158,6 +162,15 @@ def run_stage(
         out_df.withColumn("partition_id", bucket_of(key_col)), f"out_{stage}"
     )
     out_keyed.write.partitionBy("partition_id").mode("overwrite").parquet(out_path)
+    if not keep and out_keyed.isEmpty():
+        # empty input (or all-empty recompute) with no carried-over
+        # partitions: the write produced no data files, so the path is
+        # unreadable — serve the empty frame with the compute schema
+        manifest.record_completed(
+            run_id, stage,
+            in_stats.withColumn("rows_out", F.lit(0).cast("long")),
+        )
+        return spark.createDataFrame([], out_df.schema)
 
     out_stats = out_keyed.groupBy("partition_id").agg(F.count(F.lit(1)).alias("rows_out"))
     stats = (

@@ -72,3 +72,20 @@ def test_vanished_bucket_clears_stale_partition(spark, tmp_path):
     )
     got = {r.url for r in r2.collect()}
     assert got == set(urls) - dropped
+
+
+def test_empty_input_clears_everything_and_serves_empty(spark, tmp_path):
+    out = str(tmp_path / "ei")
+    manifest = Manifest(spark, f"{out}/manifest")
+    rows1 = [(f"u{i}", True) for i in range(20)]
+    r1 = run_stage(
+        spark, manifest, "r", "st", _input(spark, rows1), "url", _compute,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+    assert r1.count() == 20
+    # the whole input vanishes: the stage must serve EMPTY, not stale rows
+    r2 = run_stage(
+        spark, manifest, "r", "st", _input(spark, []), "url", _compute,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+    assert r2.count() == 0
