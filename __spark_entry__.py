@@ -6,10 +6,16 @@ loading the sf0.001 testdata tables (schema smoke).
 
 ``queries()`` / ``oracle_sql()`` — the operator surface from SURVEY.md §2
 plus the training-data operators (dedup / similarity / text analysis /
-multimodal). Implementations live in ``graphlab_spark.plans.relational``
-and ``graphlab_spark.plans.training_queries``; this module re-exports the
-shared registry. Entries whose semantics are not SQL-expressible
-(probabilistic LSH candidate generation) carry no oracle → rows-only.
+multimodal / events / curation). Implementations live in
+``graphlab_spark.plans.{relational,event_queries,training_queries}``;
+this module re-exports the shared registry.
+
+Registry ORDER is a contract: the driver's CORRECTNESS harness records
+only the first 50 entries, so rows-only entries (probabilistic LSH
+candidate generation, float PageRank) and redundantly-pinned oracled
+entries are registered LAST (``reorder_registry_last`` — see
+COVERAGE.md "Driver CORRECTNESS cap"); everything past the cap is gated
+by tools/check_oracles.py + tests/test_orphan_oracles.py instead.
 """
 
 from __future__ import annotations
