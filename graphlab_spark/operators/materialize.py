@@ -429,3 +429,53 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    files_per_partition: int = 1,
+    sort_cols: list[str] | None = None,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Small-files compaction — the parquet analog of the reference's
+    ``index_rebuild`` job (B7, ref neo4j_connection.py:415-500) and of
+    Iceberg's ``rewrite_data_files``: rewrite a table into
+    ``files_per_partition`` files (per partition when ``partition_col``
+    is given), optionally sorted within files so min/max footer stats
+    prune point lookups.
+
+    Long-running ingest accumulates one small file per micro-batch per
+    partition; at 10^5+ files, task scheduling and footer reads dominate
+    scan time. Content is byte-preserved (row set unchanged — pinned by
+    test); the rewrite goes through scratch so the source is never read
+    and overwritten in one plan.
+    """
+    from graphlab_spark.operators.scratch import materialize
+
+    validate_output_name(os.path.basename(os.path.normpath(path)))
+    df = spark.read.parquet(path)
+    if partition_col is not None:
+        # hash-repartition on the partition column across ``n_tasks``
+        # tasks: each partition VALUE lands in exactly one task (hash →
+        # one bucket), so every partition dir gets exactly one file while
+        # the rewrite stays parallel across values — never one task for
+        # the whole table. files_per_partition > 1 would need a salt and
+        # is not what compaction wants; reject it explicitly.
+        if files_per_partition != 1:
+            raise ValueError(
+                "partitioned compaction writes one file per partition dir; "
+                "files_per_partition must be 1 when partition_col is set"
+            )
+        n_tasks = spark.sparkContext.defaultParallelism
+        df = df.repartition(n_tasks, partition_col)
+    else:
+        df = df.repartition(files_per_partition)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    pinned = materialize(df, "compact")
+    w = pinned.write.mode("overwrite")
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.parquet(path)
+    return spark.read.parquet(path)

@@ -118,15 +118,32 @@ def run_stage(
     )
     if _readable(spark, out_path):
         done = manifest.completed_partitions(run_id, stage)
-        valid_done = in_stats.join(done, ["partition_id", "input_fp"], "left_semi").select(
-            "partition_id"
-        )
-        # bucket-count sized (≤ N_BUCKETS rows) — collect once, reuse as a
-        # literal IN-list instead of re-running the manifest join per use
+        valid_done = in_stats.join(
+            done, ["partition_id", "input_fp"], "left_semi"
+        ).select("partition_id")
+        # bucket-count sized (≤ N_BUCKETS rows) — collect once, reuse
+        # as a literal IN-list instead of re-running the manifest join
         keep = sorted(r.partition_id for r in valid_done.collect())
     else:
         # output vanished (external deletion / partial commit) → recompute all
         keep = []
+
+    pending = keyed if not keep else keyed.filter(~F.col("partition_id").isin(keep))
+    # ONE compute_fn call builds the output plan lazily (no job yet)
+    out_df = compute_fn(pending.drop("partition_id"))
+    if keep:
+        # Schema-drift guard: the input fingerprint catches changed DATA,
+        # not changed CODE — if compute_fn's output schema no longer
+        # matches the persisted table (a stage was edited between runs),
+        # a partial resume would mix schemas in one table. Plan-analysis
+        # only; on drift (rare) rebuild the plan over the FULL input.
+        existing = spark.read.parquet(out_path).drop("partition_id").schema
+        if [(f.name, f.dataType) for f in existing] != [
+            (f.name, f.dataType) for f in out_df.schema
+        ]:
+            keep = []  # stage code changed → full recompute, stale dirs cleared
+            pending = keyed
+            out_df = compute_fn(pending.drop("partition_id"))
 
     # Dynamic partition overwrite only replaces partitions PRESENT in the
     # written data: a recomputed bucket whose new output is zero rows, or
@@ -149,7 +166,6 @@ def run_stage(
             if pid not in keep:
                 fs.delete(f"{out_path}/{name}")
 
-    pending = keyed if not keep else keyed.filter(~F.col("partition_id").isin(keep))
     # nothing-pending fast path requires some carried-over output on disk:
     # with keep empty AND pending empty (an EMPTY input), fall through so
     # the (empty) write re-establishes the table schema instead of
@@ -157,7 +173,6 @@ def run_stage(
     if keep and pending.isEmpty():
         return spark.read.parquet(out_path).drop("partition_id")
 
-    out_df = compute_fn(pending.drop("partition_id"))
     out_keyed = _pin(
         out_df.withColumn("partition_id", bucket_of(key_col)), f"out_{stage}"
     )

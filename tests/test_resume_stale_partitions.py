@@ -89,3 +89,27 @@ def test_empty_input_clears_everything_and_serves_empty(spark, tmp_path):
         f"{out}/o", fp_cols=["url", "flag"],
     )
     assert r2.count() == 0
+
+
+def test_schema_drift_forces_full_recompute(spark, tmp_path):
+    """The input fingerprint catches changed data, not changed CODE: if
+    the stage's output schema changes between runs, a partial resume
+    would mix schemas in one table — the stage must recompute fully."""
+    out = str(tmp_path / "sd")
+    manifest = Manifest(spark, f"{out}/manifest")
+    rows = [(f"u{i}", True) for i in range(30)]
+    r1 = run_stage(
+        spark, manifest, "r", "st", _input(spark, rows), "url", _compute,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+    assert set(r1.columns) == {"url", "flag", "val"}
+
+    def _compute_v2(d):  # the stage was edited: new derived column
+        return d.filter(F.col("flag")).withColumn("val2", F.length("url") * 2)
+
+    r2 = run_stage(
+        spark, manifest, "r", "st", _input(spark, rows), "url", _compute_v2,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+    assert set(r2.columns) == {"url", "flag", "val2"}  # no schema mixing
+    assert r2.count() == 30
