@@ -129,21 +129,6 @@ def run_stage(
         keep = []
 
     pending = keyed if not keep else keyed.filter(~F.col("partition_id").isin(keep))
-    # ONE compute_fn call builds the output plan lazily (no job yet)
-    out_df = compute_fn(pending.drop("partition_id"))
-    if keep:
-        # Schema-drift guard: the input fingerprint catches changed DATA,
-        # not changed CODE — if compute_fn's output schema no longer
-        # matches the persisted table (a stage was edited between runs),
-        # a partial resume would mix schemas in one table. Plan-analysis
-        # only; on drift (rare) rebuild the plan over the FULL input.
-        existing = spark.read.parquet(out_path).drop("partition_id").schema
-        if [(f.name, f.dataType) for f in existing] != [
-            (f.name, f.dataType) for f in out_df.schema
-        ]:
-            keep = []  # stage code changed → full recompute, stale dirs cleared
-            pending = keyed
-            out_df = compute_fn(pending.drop("partition_id"))
 
     # Dynamic partition overwrite only replaces partitions PRESENT in the
     # written data: a recomputed bucket whose new output is zero rows, or
@@ -157,21 +142,45 @@ def run_stage(
     from graphlab_spark.streaming.exactly_once import _FS
 
     fs = _FS(spark, out_path)
-    for name in fs.list_names(out_path):
-        if name.startswith("partition_id="):
-            try:
-                pid = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if pid not in keep:
-                fs.delete(f"{out_path}/{name}")
 
-    # nothing-pending fast path requires some carried-over output on disk:
-    # with keep empty AND pending empty (an EMPTY input), fall through so
-    # the (empty) write re-establishes the table schema instead of
-    # reading a partitionless directory
+    def _delete_stale(kept: list) -> None:
+        for name in fs.list_names(out_path):
+            if name.startswith("partition_id="):
+                try:
+                    pid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if pid not in kept:
+                    fs.delete(f"{out_path}/{name}")
+
+    _delete_stale(keep)
+
+    # Nothing-pending fast path: nothing will be written, so the
+    # mixed-schema hazard below cannot occur — serve the carried-over
+    # table without invoking compute_fn at all ("unchanged input must
+    # not recompute", pinned by test_round2_fixes). Requires some
+    # carried-over output on disk: with keep empty AND pending empty
+    # (an EMPTY input), fall through so the (empty) write re-establishes
+    # the table schema instead of reading a partitionless directory.
     if keep and pending.isEmpty():
         return spark.read.parquet(out_path).drop("partition_id")
+
+    # ONE compute_fn call builds the output plan lazily (no job yet)
+    out_df = compute_fn(pending.drop("partition_id"))
+    if keep:
+        # Schema-drift guard: the input fingerprint catches changed DATA,
+        # not changed CODE — writing new-schema partitions next to kept
+        # old-schema ones would mix schemas in one table. Plan-analysis
+        # only; on drift (rare) rebuild over the FULL input and clear the
+        # previously-kept partitions too.
+        existing = spark.read.parquet(out_path).drop("partition_id").schema
+        if [(f.name, f.dataType) for f in existing] != [
+            (f.name, f.dataType) for f in out_df.schema
+        ]:
+            keep = []
+            pending = keyed
+            out_df = compute_fn(pending.drop("partition_id"))
+            _delete_stale(keep)
 
     out_keyed = _pin(
         out_df.withColumn("partition_id", bucket_of(key_col)), f"out_{stage}"

@@ -91,15 +91,19 @@ def test_empty_input_clears_everything_and_serves_empty(spark, tmp_path):
     assert r2.count() == 0
 
 
-def test_schema_drift_forces_full_recompute(spark, tmp_path):
-    """The input fingerprint catches changed data, not changed CODE: if
-    the stage's output schema changes between runs, a partial resume
-    would mix schemas in one table — the stage must recompute fully."""
+def test_schema_drift_on_partial_resume_forces_full_recompute(spark, tmp_path):
+    """The input fingerprint catches changed data, not changed CODE: on
+    a PARTIAL resume (some buckets pending) with a changed output
+    schema, writing new-schema partitions next to kept old-schema ones
+    would mix schemas in one table — the stage must recompute fully.
+    (A FULLY-resumed run with unchanged input keeps serving the old
+    output untouched — that is the resume contract; changing stage code
+    mid-run_id calls for a new run_id/out_dir.)"""
     out = str(tmp_path / "sd")
-    manifest = Manifest(spark, f"{out}/manifest")
-    rows = [(f"u{i}", True) for i in range(30)]
+    manifest = Manifest(spark, f"{out}/st_o")
+    rows1 = [(f"u{i}", True) for i in range(30)]
     r1 = run_stage(
-        spark, manifest, "r", "st", _input(spark, rows), "url", _compute,
+        spark, manifest, "r", "st", _input(spark, rows1), "url", _compute,
         f"{out}/o", fp_cols=["url", "flag"],
     )
     assert set(r1.columns) == {"url", "flag", "val"}
@@ -107,9 +111,34 @@ def test_schema_drift_forces_full_recompute(spark, tmp_path):
     def _compute_v2(d):  # the stage was edited: new derived column
         return d.filter(F.col("flag")).withColumn("val2", F.length("url") * 2)
 
+    # new urls → some buckets pending; schema changed → FULL recompute
+    rows2 = rows1 + [(f"w{i}", True) for i in range(8)]
+    r2 = run_stage(
+        spark, manifest, "r", "st", _input(spark, rows2), "url", _compute_v2,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+    assert set(r2.columns) == {"url", "flag", "val2"}  # no schema mixing
+    assert r2.count() == 38
+
+
+def test_fully_resumed_run_keeps_old_output_despite_code_change(spark, tmp_path):
+    """Unchanged input never recomputes — even if the stage code changed:
+    the served table stays uniformly old-schema (no mixing possible when
+    nothing is written)."""
+    out = str(tmp_path / "sdf")
+    manifest = Manifest(spark, f"{out}/m")
+    rows = [(f"u{i}", True) for i in range(20)]
+    run_stage(
+        spark, manifest, "r", "st", _input(spark, rows), "url", _compute,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+
+    def _compute_v2(d):
+        return d.filter(F.col("flag")).withColumn("val2", F.length("url") * 2)
+
     r2 = run_stage(
         spark, manifest, "r", "st", _input(spark, rows), "url", _compute_v2,
         f"{out}/o", fp_cols=["url", "flag"],
     )
-    assert set(r2.columns) == {"url", "flag", "val2"}  # no schema mixing
-    assert r2.count() == 30
+    assert set(r2.columns) == {"url", "flag", "val"}  # old output, uniform
+    assert r2.count() == 20
