@@ -202,3 +202,50 @@ def winnow_fp_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
         f"i -> substr(md5(substr(text, i, {k})), 1, 8)) ELSE [] END AS h "
         "FROM documents)"
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals per doc
+    (public rules — Rae et al. 2021 §A1.1): the fraction of tokens
+    covered by the single most frequent token 2-gram, and the fraction
+    of token-3-gram INSTANCES that are duplicated. High values mark
+    boilerplate/spam for training-data filtering.
+
+    Shape: explode grams → one partial-aggregated shuffle keyed
+    (doc, gram) → per-doc window max/sum. Scale-sane: shuffle volume is
+    O(distinct grams), map-side combined; no per-row Python.
+    """
+    toks = F.split(F.trim(F.col(text)), r"\s+")
+
+    def grams(n: int):
+        # NON-distinct n-grams (counts matter here); tokenization hoisted
+        return F.expr(
+            f"transform(sequence(0, greatest(size(_toks) - {n}, 0)), "
+            f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))"
+        )
+
+    base = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, F.size("_toks").alias("n_tokens"), grams(2).alias("g2"), grams(3).alias("g3")
+    )
+
+    def frac(gcol: str, agg):
+        counts = (
+            base.select(id_col, "n_tokens", F.explode(gcol).alias("g"))
+            .groupBy(id_col, "n_tokens", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return counts.groupBy(id_col, "n_tokens").agg(agg)
+
+    top2 = frac("g2", F.max("c").alias("max_c")).select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("max_c") * 2.0 / F.col("n_tokens"), 4).alias("top_bigram_frac"),
+    )
+    dup3 = frac(
+        "g3",
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            / F.sum("c")
+        ).alias("_d"),
+    ).select(id_col, F.round("_d", 4).alias("dup_trigram_frac"))
+    return top2.join(dup3, id_col)

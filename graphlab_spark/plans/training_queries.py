@@ -401,6 +401,37 @@ def t08(spark, sf):
     return DD.contaminated_docs(copies, bench, n=13)
 
 
+_G2 = (
+    "list_transform(generate_series(0, greatest(len({t}) - 2, 0)), "
+    "i -> array_to_string({t}[i + 1 : i + 2], ' '))"
+).format(t=_TOKS)
+_G3NODUP = (
+    "list_transform(generate_series(0, greatest(len({t}) - 3, 0)), "
+    "i -> array_to_string({t}[i + 1 : i + 3], ' '))"
+).format(t=_TOKS)
+
+
+@q(
+    "t10_repetition_stats",
+    "WITH b AS (SELECT doc_id, n_tokens, g, count(*) AS c FROM ("
+    f" SELECT doc_id, {TS.TOKEN_COUNT_SQL} AS n_tokens, unnest({_G2}) AS g "
+    " FROM documents) GROUP BY 1, 2, 3), "
+    "t AS (SELECT doc_id, n_tokens, g, count(*) AS c FROM ("
+    f" SELECT doc_id, {TS.TOKEN_COUNT_SQL} AS n_tokens, unnest({_G3NODUP}) AS g "
+    " FROM documents) GROUP BY 1, 2, 3), "
+    "b2 AS (SELECT doc_id, n_tokens, "
+    " ROUND(MAX(c) * 2.0 / n_tokens, 4) AS top_bigram_frac FROM b GROUP BY 1, 2), "
+    "t2 AS (SELECT doc_id, ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 "
+    " / SUM(c), 4) AS dup_trigram_frac FROM t GROUP BY 1) "
+    "SELECT b2.doc_id, b2.n_tokens, b2.top_bigram_frac, t2.dup_trigram_frac "
+    "FROM b2 JOIN t2 ON b2.doc_id = t2.doc_id",
+    "Gopher-style repetition quality signals: top-bigram token coverage "
+    "and duplicated-trigram instance fraction (boilerplate/spam filter)",
+)
+def t10(spark, sf):
+    return TS.repetition_stats(_t(spark, sf, "documents"))
+
+
 @q(
     "t07_winnowing_fp",
     TS.winnow_fp_sql(),
@@ -662,6 +693,7 @@ reorder_registry_last(
         "d07_neardup_keepers",
         "t08_benchmark_contamination",
         "t09_domain_quota",
+        "t10_repetition_stats",
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",
         "s02_ann_lsh_topk",

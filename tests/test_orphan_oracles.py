@@ -48,6 +48,7 @@ def test_cap_split_is_intentional():
         "d07_neardup_keepers",
         "t08_benchmark_contamination",
         "t09_domain_quota",
+        "t10_repetition_stats",
     }
     beyond = set(names[DRIVER_CAP:])
     assert {n for n in beyond if n in oracles} <= parked_oracled

@@ -77,3 +77,22 @@ def test_winnowing_short_and_null_docs(spark):
     )
     got = {r.doc_id: (r.wfp, r.n_fp) for r in TS.winnow_fp_frame(docs).collect()}
     assert got[1] == ("", 0) and got[2] == ("", 0) and got[3] == ("", 0)
+
+
+def test_repetition_stats_known_values(spark):
+    from graphlab_spark.functions.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # "a b" bigram appears 3x in 6 tokens → top_bigram_frac = 3*2/6 = 1.0;
+            # trigrams: [a b a, b a b, a b a, b a b] → all 4 duplicated → 1.0
+            (1, "a b a b a b"),
+            # all tokens distinct → top bigram count 1 → 2/5; no dup trigrams
+            (2, "v w x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.top_bigram_frac, r.dup_trigram_frac)
+           for r in repetition_stats(docs).collect()}
+    assert got[1] == (6, 1.0, 1.0)
+    assert got[2] == (5, 0.4, 0.0)
