@@ -249,3 +249,28 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text"
         ).alias("_d"),
     ).select(id_col, F.round("_d", 4).alias("dup_trigram_frac"))
     return top2.join(dup3, id_col)
+
+
+# PII scrubbing (C4/CCNet-style preprocessing). Patterns restricted to
+# syntax shared by Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded repeats, \b — no lookarounds.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Redact emails and IPv4 literals → (id, n_emails, n_ips,
+    redacted_md5). Counts are pre-redaction match counts; the md5
+    fingerprints the redacted text (emails replaced before IPs, both
+    with fixed tags — deterministic, so the same doc always redacts to
+    the same bytes). JVM regexp only — no Python in the row path."""
+    t = F.col(text)
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -432,6 +432,45 @@ def t10(spark, sf):
     return TS.repetition_stats(_t(spark, sf, "documents"))
 
 
+_PII_TEXT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com "
+    "from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 now'"
+)
+_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_SQL = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@q(
+    "t11_pii_redaction",
+    "SELECT doc_id, "
+    f"CAST(len(regexp_extract_all(t, '{_EMAIL_SQL}')) AS INT) AS n_emails, "
+    f"CAST(len(regexp_extract_all(t, '{_IPV4_SQL}')) AS INT) AS n_ips, "
+    f"md5(regexp_replace(regexp_replace(t, '{_EMAIL_SQL}', '<EMAIL>', 'g'), "
+    f"'{_IPV4_SQL}', '<IP>', 'g')) AS redacted_md5 "
+    f"FROM (SELECT doc_id, {_PII_TEXT} AS t FROM documents)",
+    "PII scrubbing (C4/CCNet-style): email + IPv4 redaction with match "
+    "counts and a fingerprint of the redacted bytes — patterns restricted "
+    "to Java-regex/RE2 shared syntax so the oracle is exact",
+)
+def t11(spark, sf):
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 now"),
+        ).alias("text"),
+    )
+    return TS.redact_pii(docs).select(
+        "doc_id",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_ips").cast("int").alias("n_ips"),
+        "redacted_md5",
+    )
+
+
 @q(
     "t07_winnowing_fp",
     TS.winnow_fp_sql(),
@@ -694,6 +733,7 @@ reorder_registry_last(
         "t08_benchmark_contamination",
         "t09_domain_quota",
         "t10_repetition_stats",
+        "t11_pii_redaction",
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",
         "s02_ann_lsh_topk",

@@ -49,6 +49,7 @@ def test_cap_split_is_intentional():
         "t08_benchmark_contamination",
         "t09_domain_quota",
         "t10_repetition_stats",
+        "t11_pii_redaction",
     }
     beyond = set(names[DRIVER_CAP:])
     assert {n for n in beyond if n in oracles} <= parked_oracled

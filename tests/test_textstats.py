@@ -96,3 +96,21 @@ def test_repetition_stats_known_values(spark):
            for r in repetition_stats(docs).collect()}
     assert got[1] == (6, 1.0, 1.0)
     assert got[2] == (5, 0.4, 0.0)
+
+
+def test_redact_pii_counts_and_determinism(spark):
+    from graphlab_spark.functions.textstats import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b%x@foo-bar.example.com or 10.0.3.7 and x@y.io"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_emails, r.n_ips, r.redacted_md5) for r in redact_pii(docs).collect()}
+    assert got[1][0] == 2 and got[1][1] == 1
+    assert got[2][0] == 0 and got[2][1] == 0
+    # determinism: same input → same fingerprint
+    again = {r.doc_id: r.redacted_md5 for r in redact_pii(docs).collect()}
+    assert {k: v[2] for k, v in got.items()} == again
