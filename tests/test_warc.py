@@ -79,3 +79,83 @@ def test_backfill_lang_only_touches_und(spark, tmp_path):
     assert got["u1"] == "en"
     assert got["u2"] == "de"
     assert got["u3"] == "fr"
+
+
+def test_streaming_parser_bounds_memory():
+    """Peak buffered bytes must be O(largest record), not O(file): a
+    multi-member gzip of many records decompresses to far more than the
+    parser ever holds at once."""
+    import io
+
+    from graphlab_spark.sources.warc import _open_record_stream, iter_warc_records
+
+    big = b"<html><body>" + b"x" * 200_000 + b"</body></html>"
+    members = b"".join(
+        gzip.compress(
+            _record("response", f"https://ex.org/{i}", "2024-03-01T00:00:01Z", big)
+        )
+        for i in range(100)
+    )
+    decompressed_total = 100 * (len(big) + 200)
+    stats = {}
+    rows = list(
+        iter_warc_records(_open_record_stream(io.BytesIO(members)), "und", stats=stats)
+    )
+    assert len(rows) == 100
+    assert all(r["html"] == big for r in rows)
+    # bound: one record + one 1 MiB read chunk, never the whole stream
+    assert stats["max_buffered_bytes"] < decompressed_total / 2
+    assert stats["max_buffered_bytes"] < len(big) + (2 << 20)
+
+
+def test_streaming_parser_identical_to_whole_buffer():
+    """parse_warc_bytes (now stream-backed) preserves the original
+    whole-buffer parser's output exactly: response-only filter, payload
+    byte identity, trailing-garbage tolerance."""
+    raw = _warc_bytes() + b"NOT A WARC HEADER trailing garbage"
+    rows = parse_warc_bytes(raw)
+    assert [r["url"] for r in rows] == ["https://ex.org/a", "https://ex.org/b"]
+    assert rows[0]["html"] == HTML_A and rows[1]["html"] == HTML_B
+    assert rows[0]["lang"] == "und" and rows[1]["lang"] == "en"
+
+
+def test_lang_normalization_iso639():
+    """Common Crawl declares ISO-639-3, often comma-separated; codes the
+    pipeline can't handle become 'und' so backfill_lang re-identifies
+    them instead of the lang gate silently dropping the page."""
+    from graphlab_spark.sources.warc import normalize_lang
+
+    assert normalize_lang("eng") == "en"
+    assert normalize_lang("eng,fra") == "en"
+    assert normalize_lang("fra") == "fr"
+    assert normalize_lang("deu") == "de"
+    assert normalize_lang("zho") == "zh"
+    assert normalize_lang("jpn") == "und"  # unknown → undeclared, not dropped
+    assert normalize_lang("en") == "en"
+    assert normalize_lang(None, "en") == "en"  # missing header → default
+    assert normalize_lang("  ", "en") == "en"
+
+    raw = _record(
+        "response", "https://ex.org/c", "2024-03-01T00:00:03Z", HTML_A,
+        extra="WARC-Identified-Content-Language: eng,fra\r\n",
+    )
+    assert parse_warc_bytes(raw)[0]["lang"] == "en"
+
+
+def test_read_warc_path_streaming_mode(spark, tmp_path):
+    """file: storage takes the path-streaming branch (content never
+    loaded through binaryFile) and yields the same pages table."""
+    members = (
+        gzip.compress(_record("response", "https://ex.org/a", "2024-03-01T00:00:01Z", HTML_A))
+        + gzip.compress(_record("request", "https://ex.org/a", "2024-03-01T00:00:01Z", b"GET /"))
+        + gzip.compress(_record("response", "https://ex.org/b", "2024-03-01T00:00:02Z", HTML_B))
+    )
+    for i in range(3):
+        (tmp_path / f"seg-0000{i}.warc.gz").write_bytes(members)
+    pages = read_warc(spark, str(tmp_path / "*.warc.gz"))
+    rows = pages.collect()
+    assert len(rows) == 6
+    assert {(r.url, bytes(r.html)) for r in rows} == {
+        ("https://ex.org/a", HTML_A),
+        ("https://ex.org/b", HTML_B),
+    }
