@@ -149,16 +149,26 @@ def main() -> None:
     )
     pages = spark.read.parquet(pages_path)
     aliases = corpus.alias_df(spark)
-    # min-of-2: host steal-time on this sandbox fluctuates 2x minute to
-    # minute (see BENCH/BASELINE.md); the quiet-window wall is the signal.
+    # min-of-reps: host steal-time on this sandbox fluctuates 2x minute
+    # to minute (see BENCH/BASELINE.md); the quiet-window wall is the
+    # signal. Per-stage seconds from the FASTEST rep are emitted as
+    # kg.stages so any round-over-round delta decomposes into parse vs
+    # link+canonicalize vs materialize instead of reading as one opaque
+    # (noise-dominated) number.
     kg_wall = None
-    for _ in range(2):
+    kg_stages: dict[str, float] = {}
+    for _ in range(max(reps, 1)):
+        stages: dict[str, float] = {}
         t0 = time.time()
-        res = run_pipeline_in_memory(spark, pages, aliases)
+        res = run_pipeline_in_memory(spark, pages, aliases, stage_timings=stages)
+        # nodes/edges are built lazily; the count is the materialize job
+        t_mat = time.time()
         n_edges = res["edges"].count()
+        stages["materialize"] = round(time.time() - t_mat, 3)
         w = time.time() - t0
         if kg_wall is None or w < kg_wall:
             kg_wall = w
+            kg_stages = stages
     n_docs = res["docs"].count()
     n_triples = res["triples"].count()
     timings["kg_pipeline"] = round(kg_wall, 3)
@@ -167,6 +177,8 @@ def main() -> None:
     extras["kg_edges"] = n_edges
     extras["docs_per_sec"] = round(n_docs / kg_wall, 2)
     extras["triples_per_sec"] = round(n_triples / kg_wall, 2)
+    extras["stages"] = kg_stages
+    extras["reps"] = max(reps, 1)
 
     total = round(sum(timings.values()), 3)
     print(
