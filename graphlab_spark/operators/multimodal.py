@@ -54,9 +54,183 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
 
 
 def real_decode(media: bytes, media_type: str):  # pragma: no cover - by design
-    """Hook for a real decoder (PIL / torchaudio / pyav). Not available in
-    this environment; the pipeline uses the deterministic stub instead."""
+    """Hook for a real PIXEL decoder (PIL / torchaudio / pyav). Not
+    available in this environment; header-level decoding (container
+    format, width/height) IS real — see :func:`parse_image_header`."""
     raise NotImplementedError("media decoding libraries are not installed in this container")
+
+
+# ---------------------------------------------------------- real headers
+#
+# PNG (IHDR chunk) and JPEG (SOFn segment) dimensions are pure-stdlib
+# parses — no image library needed — so the decode path is REAL for the
+# header level: byte synthesis below emits valid container bytes, and
+# parse_image_header reads dimensions back out of the actual bytes
+# (IHDR CRC verified; JPEG marker stream walked to the first SOFn).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def build_png(width: int, height: int) -> bytes:
+    """Minimal VALID RGB8 PNG (signature + IHDR + IDAT of zero pixels +
+    IEND, all CRCs correct) — pure stdlib, deterministic."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * (3 * width)) * height  # filter-0 scanlines
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND", b"")
+    )
+
+
+def build_jpeg(width: int, height: int) -> bytes:
+    """JFIF header + baseline SOF0 carrying real dimensions (no scan
+    data — header-complete, which is the decoded surface here)."""
+    import struct
+
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def parse_image_header(data: bytes) -> tuple[str, int, int]:
+    """(fmt, width, height) from real container bytes; raises ValueError
+    on anything malformed. PNG: IHDR with CRC check. JPEG: marker walk to
+    the first SOFn (C0-CF except C4/C8/CC), big-endian height, width."""
+    import struct
+    import zlib
+
+    if data[:8] == _PNG_SIG:
+        if len(data) < 33 or data[12:16] != b"IHDR":
+            raise ValueError("PNG: missing IHDR")
+        (length,) = struct.unpack(">I", data[8:12])
+        if length != 13:
+            raise ValueError("PNG: bad IHDR length")
+        (crc,) = struct.unpack(">I", data[29:33])
+        if zlib.crc32(data[12:29]) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG: IHDR CRC mismatch")
+        w, h = struct.unpack(">II", data[16:24])
+        return ("png", w, h)
+    if data[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(data):
+            if data[i] != 0xFF:
+                raise ValueError("JPEG: bad marker stream")
+            marker = data[i + 1]
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2
+                continue
+            (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(data):
+                    raise ValueError("JPEG: truncated SOF")
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seglen
+        raise ValueError("JPEG: no SOF marker")
+    raise ValueError("unsupported format")
+
+
+def attach_real_media(docs: DataFrame) -> DataFrame:
+    """Plant REAL container bytes per doc: image docs (doc_id % 3 == 0)
+    get a valid PNG (even doc_id) or JPEG (odd) with deterministic dims
+    width = 16 + (doc_id·7) % 97, height = 16 + (doc_id·5) % 61; every
+    51st image is truncated to 10 bytes (corrupt-header plant); audio/
+    video docs keep the md5-repeat stub payload (no image container).
+    All formulas are doc_id-pure so a SQL oracle can state the expected
+    decode output without seeing the bytes."""
+    import hashlib
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("media", T.BinaryType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        types = ["image", "audio", "video"]
+        for b in batches:
+            rows = []
+            for doc_id in b["doc_id"]:
+                d = int(doc_id)
+                mtype = types[d % 3]
+                if mtype == "image":
+                    w, h = 16 + (d * 7) % 97, 16 + (d * 5) % 61
+                    blob = build_png(w, h) if d % 2 == 0 else build_jpeg(w, h)
+                    if d % 51 == 0:
+                        blob = blob[:10]
+                else:
+                    blob = (
+                        hashlib.md5(str(d).encode()).hexdigest() * (d % 7 + 1)
+                    ).encode()
+                rows.append({"doc_id": d, "media_type": mtype, "media": blob})
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
+
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def decode_image_headers(media_df: DataFrame) -> DataFrame:
+    """(doc_id, media_type, media) → real header metadata. Decode
+    failures land in a quarantine ``error`` column ('corrupt' when an
+    image magic was present but the container is malformed,
+    'unsupported' when no known magic) rather than failing the task —
+    at 10^12 docs a decode crash must never kill a partition."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, mtype, blob in zip(b["doc_id"], b["media_type"], b["media"]):
+                data = bytes(blob)
+                fmt = width = height = error = None
+                try:
+                    fmt, width, height = parse_image_header(data)
+                except ValueError:
+                    has_magic = data[:8] == _PNG_SIG or data[:2] == b"\xff\xd8"
+                    error = "corrupt" if has_magic else "unsupported"
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "media_type": mtype,
+                        "fmt": fmt,
+                        "width": width,
+                        "height": height,
+                        "error": error,
+                    }
+                )
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "fmt", "width", "height", "error"]
+            )
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return media_df.mapInPandas(decode, IMAGE_META_SCHEMA)
 
 
 def decode_media(media_df: DataFrame, use_real_decoder: bool = False) -> DataFrame:

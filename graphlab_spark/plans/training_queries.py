@@ -275,16 +275,29 @@ _MEDIA_SQL_FIELDS = (
 
 @q(
     "m01_media_meta",
-    f"SELECT doc_id, media_type, n_bytes, "
-    "CAST(64 + n_bytes % 192 AS INT) AS width, "
-    "CAST(64 + n_bytes % 128 AS INT) AS height, "
-    "CAST(CASE WHEN media_type = 'image' THEN 1 ELSE 1 + n_bytes % 24 END AS INT) AS n_frames "
-    f"FROM (SELECT doc_id, {_MEDIA_SQL_FIELDS} FROM documents)",
-    "multimodal: binary media column → typed metadata via mapInPandas "
-    "(decode stubbed deterministically; real decoder raises NotImplementedError)",
+    # REAL header decode: the Spark side parses planted PNG IHDR / JPEG
+    # SOFn container bytes (CRC-checked, stdlib-only); the oracle states
+    # the planted dimensions from attach_real_media's doc_id-pure
+    # formulas. width/height come out of the actual bytes — a parser bug
+    # (endianness, offset, CRC) breaks the hash match.
+    "SELECT doc_id, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END AS media_type, "
+    "CASE WHEN doc_id % 3 = 0 AND doc_id % 51 <> 0 THEN "
+    "(CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END) END AS fmt, "
+    "CASE WHEN doc_id % 3 = 0 AND doc_id % 51 <> 0 THEN "
+    "CAST(16 + (doc_id * 7) % 97 AS INT) END AS width, "
+    "CASE WHEN doc_id % 3 = 0 AND doc_id % 51 <> 0 THEN "
+    "CAST(16 + (doc_id * 5) % 61 AS INT) END AS height, "
+    "CASE WHEN doc_id % 3 <> 0 THEN 'unsupported' "
+    "WHEN doc_id % 51 = 0 THEN 'corrupt' END AS error "
+    "FROM documents",
+    "multimodal: binary media column → REAL header metadata (PNG IHDR / "
+    "JPEG SOFn parsed from actual bytes via mapInPandas; corrupt or "
+    "non-image payloads quarantined in an error column, never a crash)",
 )
 def m01(spark, sf):
-    return MM.decode_media(MM.attach_fake_media(_t(spark, sf, "documents")))
+    return MM.decode_image_headers(MM.attach_real_media(_t(spark, sf, "documents")))
 
 
 @q(

@@ -78,3 +78,61 @@ def test_extract_features_deterministic_shape(spark):
     for v in a.values():
         assert len(v) == FEATURE_DIM
         assert all(0.0 <= x < 1.0 for x in v)
+
+
+def test_png_jpeg_header_codec_roundtrip():
+    """build → parse roundtrip over a grid of dims; PNG IDAT actually
+    decompresses to the right scanline count (valid container, not just
+    a magic prefix)."""
+    import struct
+    import zlib
+
+    from graphlab_spark.operators.multimodal import build_jpeg, build_png, parse_image_header
+
+    for w, h in [(1, 1), (16, 76), (112, 16), (640, 480), (97, 61)]:
+        assert parse_image_header(build_png(w, h)) == ("png", w, h)
+        assert parse_image_header(build_jpeg(w, h)) == ("jpeg", w, h)
+    png = build_png(5, 3)
+    (idat_len,) = struct.unpack(">I", png[33:37])
+    raw = zlib.decompress(png[41 : 41 + idat_len])
+    assert len(raw) == 3 * (1 + 3 * 5)  # h scanlines of filter byte + RGB row
+
+
+def test_parse_image_header_rejects_malformed():
+    import pytest
+
+    from graphlab_spark.operators.multimodal import build_jpeg, build_png, parse_image_header
+
+    with pytest.raises(ValueError):
+        parse_image_header(b"plainly not an image")
+    with pytest.raises(ValueError):
+        parse_image_header(build_png(8, 8)[:10])  # truncated IHDR
+    corrupted = bytearray(build_png(8, 8))
+    corrupted[20] ^= 0xFF  # flip a dim byte → IHDR CRC mismatch
+    with pytest.raises(ValueError):
+        parse_image_header(bytes(corrupted))
+    with pytest.raises(ValueError):
+        parse_image_header(build_jpeg(8, 8)[:10])  # truncated before SOF
+
+
+def test_decode_image_headers_real_and_quarantine(spark):
+    """Real planted bytes decode to the planted dims; corrupt plants and
+    non-image payloads land in the quarantine column, never a crash."""
+    from graphlab_spark.operators.multimodal import attach_real_media, decode_image_headers
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    got = {r.doc_id: r for r in decode_image_headers(attach_real_media(docs)).collect()}
+    assert len(got) == 200
+    for d, r in got.items():
+        if d % 3 != 0:
+            assert r.error == "unsupported" and r.fmt is None and r.width is None
+        elif d % 51 == 0:
+            assert r.error == "corrupt" and r.width is None
+        else:
+            assert r.error is None
+            assert r.fmt == ("png" if d % 2 == 0 else "jpeg")
+            assert r.width == 16 + (d * 7) % 97
+            assert r.height == 16 + (d * 5) % 61
+    # both failure classes actually occur in the sample
+    assert any(r.error == "corrupt" for r in got.values())
+    assert any(r.error == "unsupported" for r in got.values())
