@@ -83,6 +83,7 @@ def pack_shards(
     budget_tokens: int = 4096,
     n_buckets: int = 64,
     id_col: str = "doc_id",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training chunks.
 
@@ -91,6 +92,11 @@ def pack_shards(
     ``floor(cumulative_tokens_before_it / budget)``. A doc straddling a
     boundary is assigned to the chunk where it starts (standard greedy
     semantics: every chunk's token sum is < budget + its last doc).
+
+    ``count_col``: name of a precomputed per-doc token-count column to
+    budget on (e.g. exact BPE subword counts from
+    ``functions.bpe.bpe_count_col``); default derives whitespace counts
+    from ``text`` (the JVM fast path).
 
     Scale: ``n_buckets`` independent window sorts (set n_buckets ≈
     cluster cores at 100 TB) — cumsum never runs as one global window.
@@ -101,11 +107,14 @@ def pack_shards(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    n_tokens = (
+        F.col(count_col).cast("long") if count_col is not None else token_count_col()
+    )
     return (
         docs.select(
             F.col(id_col),
             (F.col(id_col) % n_buckets).alias("bucket"),
-            token_count_col().alias("n_tokens"),
+            n_tokens.alias("n_tokens"),
         )
         .withColumn(
             "chunk_id",

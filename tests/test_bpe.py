@@ -1,0 +1,96 @@
+"""BPE subword tokenizer: trainer determinism (hand-computed merges),
+encoder correctness, the Spark pandas-UDF column, and pack_shards
+budgeting on exact subword counts."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from graphlab_spark.functions.bpe import (
+    bpe_count_col,
+    count_tokens,
+    encode_word,
+    load_merges,
+    pretokenize,
+    train_merges,
+)
+
+TOY = ["low low low low low", "lower lower", "newest newest newest"]
+
+
+def test_train_merges_hand_computed():
+    """Greedy most-frequent pair with lexicographic tie-break, traced by
+    hand over the classic low/lower/newest corpus."""
+    merges = train_merges(TOY, n_merges=5)
+    assert merges == [("l", "o"), ("lo", "w"), ("e", "s"), ("e", "w"), ("es", "t")]
+    # determinism: same input → same merges, order-insensitive input too
+    assert train_merges(list(reversed(TOY)), n_merges=5) == merges
+
+
+def test_encode_word_applies_rank_order():
+    ranks = {m: i for i, m in enumerate(train_merges(TOY, n_merges=5))}
+    assert encode_word("lowest", ranks) == ["low", "est"]
+    assert encode_word("low", ranks) == ["low"]
+    assert encode_word("xyz", ranks) == ["x", "y", "z"]  # no applicable merges
+
+
+def test_count_tokens_pretokenizer_classes():
+    ranks = {m: i for i, m in enumerate(train_merges(TOY, n_merges=5))}
+    assert pretokenize("Lowest, lowest 42!") == ["lowest", ",", "lowest", "42", "!"]
+    assert count_tokens("Lowest lowest!", ranks) == 5  # 2 + 2 + 1
+    assert count_tokens(None, ranks) == 0
+    assert count_tokens("", ranks) == 0
+
+
+def test_frozen_merges_fixture_stable():
+    """The committed merges table re-trains identically from the sf0.01
+    corpus — the fixture is reproducible, not hand-edited."""
+    merges = load_merges("/root/repo/fixtures/bpe_merges.parquet")
+    texts = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")["text"].tolist()
+    assert train_merges(texts, n_merges=200) == merges
+
+
+def test_bpe_count_col_matches_golden(spark):
+    """Spark UDF counts == frozen golden counts (md5-keyed) at sf0.001."""
+    import hashlib
+
+    merges = load_merges("/root/repo/fixtures/bpe_merges.parquet")
+    golden = pd.read_parquet("/root/repo/fixtures/golden_bpe_counts.parquet")
+    expected = dict(zip(golden["text_md5"], golden["n_tokens_bpe"]))
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 400)
+    )
+    got = docs.select("doc_id", "text", bpe_count_col(merges).alias("n")).collect()
+    assert len(got) == 400
+    for r in got:
+        h = hashlib.md5(r.text.encode("utf-8")).hexdigest()
+        assert r.n == expected[h], f"doc {r.doc_id}"
+
+
+def test_pack_shards_accepts_bpe_counts(spark):
+    from graphlab_spark.operators.sampling import pack_shards
+
+    merges = load_merges("/root/repo/fixtures/bpe_merges.parquet")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text", bpe_count_col(merges).alias("n_bpe"))
+    )
+    packed = pack_shards(docs, budget_tokens=500, n_buckets=8, count_col="n_bpe")
+    rows = packed.collect()
+    assert len(rows) == 200
+    # budgeting used the BPE counts, not whitespace counts
+    bpe = {r.doc_id: r.n_bpe for r in docs.collect()}
+    assert all(r.n_tokens == bpe[r.doc_id] for r in rows)
+    # greedy invariant: each chunk's sum < budget + its max single doc
+    agg = {}
+    for r in sorted(rows, key=lambda r: (r.bucket, r.doc_id)):
+        agg.setdefault((r.bucket, r.chunk_id), []).append(r.n_tokens)
+    for toks in agg.values():
+        assert sum(toks) < 500 + toks[-1]
+    # a too-small budget would collapse everything into chunk 0 otherwise
+    assert any(r.chunk_id > 0 for r in rows)

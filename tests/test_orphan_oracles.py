@@ -40,16 +40,20 @@ def test_cap_split_is_intentional():
     names = list(E.queries())
     oracles = E.oracle_sql()
     # every oracled entry past the cap must be one we consciously parked
+    # r4 rotation (see reorder_registry_last in plans/training_queries):
+    # these ten have identical recorded passes in CORRECTNESS_r01–r03 and
+    # rotate out so the r3 past-cap gates get driver records this round.
     parked_oracled = {
-        "a03_ilike_search",
-        "a15_anti_join_new_only",
-        "e04_sliding_window_counts",
-        "e05_value_percentiles",
-        "d07_neardup_keepers",
-        "t08_benchmark_contamination",
-        "t09_domain_quota",
-        "t10_repetition_stats",
-        "t11_pii_redaction",
+        "a02_filter_null_tombstone",
+        "a04_disjunction",
+        "a05_conjunction",
+        "a06_in_list",
+        "a08_pagination",
+        "a12_avg",
+        "a13_histogram",
+        "a14_conditional_count",
+        "a16_ci_distinct",
+        "a19_delete_not_found",
     }
     beyond = set(names[DRIVER_CAP:])
     assert {n for n in beyond if n in oracles} <= parked_oracled
