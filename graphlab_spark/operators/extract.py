@@ -63,7 +63,9 @@ def extract_text_udf(html_col: pd.Series) -> pd.Series:
     return html_col.map(extract_text_bytes)
 
 
-def dedup_pages(pages: DataFrame, strategy: str = "slim") -> DataFrame:
+def dedup_pages(
+    pages: DataFrame, strategy: str = "slim", canonical: bool = False
+) -> DataFrame:
     """C13: keep latest warc_ts per url.
 
     ``slim`` (default): aggregate max(warc_ts) over the two slim columns
@@ -74,15 +76,36 @@ def dedup_pages(pages: DataFrame, strategy: str = "slim") -> DataFrame:
     with skew splitting. Requires warc_ts unique per url (true for crawl
     data); on ties both rows survive.
 
+    ``canonical=True``: key the dedup on the CANONICAL url
+    (operators.urlnorm — case, default ports, fragments, tracking params)
+    instead of the raw string, so ``http://A/?utm=x`` and ``http://A/``
+    collapse to one page. Pure column expression — same plan shape.
+
     ``window``: classic window top-1 — shuffles the full row. At true
     10^12-doc scale the right answer is neither — bucket the Iceberg
     table by url at write time so dedup is shuffle-free partition-local.
     """
+    key = "url"
+    if canonical:
+        from graphlab_spark.operators.urlnorm import canonical_url_col
+
+        pages = pages.withColumn("_curl", canonical_url_col("url"))
+        key = "_curl"
     if strategy == "slim":
-        winners = pages.select("url", "warc_ts").groupBy("url").agg(
+        winners = pages.select(key, "warc_ts").groupBy(key).agg(
             F.max("warc_ts").alias("warc_ts")
         )
-        return pages.join(winners, ["url", "warc_ts"], "left_semi")
+        out = pages.join(winners, [key, "warc_ts"], "left_semi")
+        return out.drop("_curl") if canonical else out
+    if canonical:
+        w = Window.partitionBy("_curl").orderBy(
+            F.col("warc_ts").desc(), F.col("lang").asc()
+        )
+        return (
+            pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_curl")
+        )
     w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc(), F.col("lang").asc())
     return (
         pages.withColumn("_rn", F.row_number().over(w))

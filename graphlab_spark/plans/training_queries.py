@@ -512,6 +512,57 @@ def t12(spark, sf):
 
 
 @q(
+    "t13_url_canonical",
+    # Expected canonicalization stated BY CONSTRUCTION: the Spark side
+    # synthesizes messy urls (upper-case scheme/host, default ports,
+    # fragments, utm_*/fbclid tracking params) from doc_id/source
+    # formulas and runs the real JVM normalizer; the oracle writes the
+    # hand-derived canonical string for each case. A normalizer bug
+    # (port arithmetic, separator cleanup, case folding) breaks the hash.
+    "SELECT doc_id, "
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN 'http://www.' || source || '.com/a/' || doc_id || '?q=' || doc_id "
+    "WHEN 1 THEN 'https://' || source || '.com/b' "
+    "WHEN 2 THEN 'https://' || source || '.com/b?q=1&r=2' "
+    "WHEN 3 THEN 'http://ads.example/page/' || doc_id "
+    "ELSE 'http://sub.ads.example:8080/x?id=' || doc_id END AS canonical_url, "
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN 'www.' || source || '.com' "
+    "WHEN 1 THEN source || '.com' "
+    "WHEN 2 THEN source || '.com' "
+    "WHEN 3 THEN 'ads.example' "
+    "ELSE 'sub.ads.example' END AS host, "
+    "(doc_id % 5 >= 3) AS blocked "
+    "FROM documents",
+    "URL canonicalization + blocklist: scheme/host case folding, default "
+    "port + fragment + tracking-param stripping as pure JVM column "
+    "expressions; subdomain-aware broadcast blocklist flag",
+)
+def t13(spark, sf):
+    from graphlab_spark.operators import urlnorm as UN
+
+    d = F.col("doc_id")
+    s = F.col("source")
+    ds = d.cast("string")
+    url = (
+        F.when(d % 5 == 0, F.concat(
+            F.lit("HTTP://WWW."), F.upper(s), F.lit(".COM:80/a/"), ds,
+            F.lit("?utm_source=x&q="), ds, F.lit("#frag")))
+        .when(d % 5 == 1, F.concat(F.lit("https://"), s, F.lit(".com:443/b?fbclid=zz")))
+        .when(d % 5 == 2, F.concat(F.lit("https://"), s, F.lit(".com/b?q=1&utm_campaign=c&r=2")))
+        .when(d % 5 == 3, F.concat(F.lit("http://ads.example/page/"), ds))
+        .otherwise(F.concat(F.lit("http://sub.ads.example:8080/x?id="), ds))
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", url.alias("url"))
+    return docs.select(
+        "doc_id",
+        UN.canonical_url_col().alias("canonical_url"),
+        UN.host_col().alias("host"),
+        UN.is_blocked_col(UN.host_col(), ["ads.example"]).alias("blocked"),
+    )
+
+
+@q(
     "t07_winnowing_fp",
     TS.winnow_fp_sql(),
     "winnowing document fingerprints: rolling k-gram hashes, per-window "
@@ -779,6 +830,7 @@ reorder_registry_last(
         "a13_histogram",
         "a14_conditional_count",
         "a16_ci_distinct",
+        "a17_single_upsert",
         "a19_delete_not_found",
         # rows-only by design (weaker record either way)
         "d04_minhash_lsh_pairs",

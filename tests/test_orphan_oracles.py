@@ -53,6 +53,7 @@ def test_cap_split_is_intentional():
         "a13_histogram",
         "a14_conditional_count",
         "a16_ci_distinct",
+        "a17_single_upsert",
         "a19_delete_not_found",
     }
     beyond = set(names[DRIVER_CAP:])
