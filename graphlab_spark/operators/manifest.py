@@ -61,12 +61,26 @@ class Manifest:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self._snap: list[dict] | None = None
 
     def read(self) -> DataFrame:
         try:
             return self.spark.read.parquet(self.path)
         except Exception:
             return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+
+    def _rows(self) -> list[dict]:
+        """Driver-side snapshot of the (tiny, bucket-count-sized) table,
+        collected ONCE per Manifest instance and invalidated on every
+        append — so the driver-side probes (stage_fingerprint,
+        latest_completed_fp) cost one Spark job per pipeline run instead
+        of one per stage. The manifest is metadata: rows ≈ stages ×
+        buckets, never data-sized."""
+        if self._snap is None:
+            self._snap = [r.asDict() for r in self.read().collect()]
+            for r in self._snap:
+                r.setdefault("input_fp", None)
+        return self._snap
 
     def completed_partitions(self, run_id: str, stage: str) -> DataFrame:
         """Completed buckets with their input fingerprints — the LATEST
@@ -102,23 +116,39 @@ class Manifest:
         the manifest is tiny by construction."""
         from hashlib import blake2b
 
-        df = self.read()
-        if "input_fp" not in df.columns:
-            df = df.withColumn("input_fp", F.lit(None).cast("long"))
-        rows = (
-            df.filter(
-                (F.col("run_id") == run_id)
-                & (F.col("stage").isin(stages))
-                & (F.col("status") == "completed")
-            )
-            .select("stage", "partition_id", "input_fp", "rows_in", "rows_out")
-            .collect()
-        )
+        stage_set = set(stages)
+        rows = [
+            (r["stage"], r["partition_id"], r["input_fp"], r["rows_in"], r["rows_out"])
+            for r in self._rows()
+            if r["run_id"] == run_id
+            and r["stage"] in stage_set
+            and r["status"] == "completed"
+        ]
         h = blake2b(digest_size=8)
-        for r in sorted(str(tuple(row)) for row in rows):
+        for r in sorted(str(row) for row in rows):
             h.update(r.encode("utf-8"))
             h.update(b"\n")
         return int.from_bytes(h.digest(), "big") % ((1 << 61) - 1)
+
+    _MISSING = object()
+
+    def latest_completed_fp(self, run_id: str, stage: str, partition_id: int = 0):
+        """Driver-side (snapshot-backed) twin of completed_partitions for
+        single-partition global stages: the LATEST completed row's
+        input_fp, or the _MISSING sentinel when no row exists. Same
+        latest-only semantics — matching a historical fingerprint would
+        wrongly validate change-then-revert input."""
+        rows = [
+            r
+            for r in self._rows()
+            if r["run_id"] == run_id
+            and r["stage"] == stage
+            and r["status"] == "completed"
+            and r["partition_id"] == partition_id
+        ]
+        if not rows:
+            return self._MISSING
+        return max(rows, key=lambda r: r["finished_at"])["input_fp"]
 
     def pending_input(
         self, data: DataFrame, run_id: str, stage: str, key_col: str = "url"
@@ -161,6 +191,7 @@ class Manifest:
             )
         )
         rows.write.mode("append").parquet(self.path)
+        self._snap = None  # appended → snapshot stale
 
     def stage_stats(self, data: DataFrame, key_col: str = "url") -> DataFrame:
         """Per-bucket counters for ``record_completed`` (one pass, map-side)."""

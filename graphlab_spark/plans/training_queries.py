@@ -665,14 +665,17 @@ def c11_join(spark, sf):
 # views are byte-equal to the separate stages (pinned by
 # tests/test_pipeline_e2e.py), so kg_c2/c4/c14 read the shared frames too.
 _KG_N_PAGES = 300
-_KG_CACHE: dict[int, dict] = {}
+_KG_CACHE: dict[str, dict] = {}
 
 
 def _kg_pipeline(spark):
     from graphlab_spark.plans.pipeline import run_pipeline_in_memory
     from graphlab_spark.sources import corpus
 
-    key = id(spark)
+    # keyed by applicationId, NOT id(spark): CPython reuses object ids
+    # after GC, so a new session could alias a stopped one's cache entry
+    # and be served DataFrames bound to a dead context (r4 ADVICE)
+    key = spark.sparkContext.applicationId
     if key not in _KG_CACHE:
         pages = corpus.generate_pages(spark, _KG_N_PAGES)
         aliases = corpus.alias_df(spark)

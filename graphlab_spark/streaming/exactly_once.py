@@ -138,6 +138,31 @@ class BatchCommitter:
                 "out_dir."
             )
 
+    def guard_layout(
+        self, batch_id: int, stats_tables: list[str], derived_tables: list[str]
+    ) -> None:
+        """Reject resuming (ANY batch id — r4 ADVICE; guard_first_batch
+        only covers batch 0) against an out_dir where derived tables
+        (nodes/edges) exist but the cumulative stats tables they are
+        rebuilt from are missing — the previous nodes/edges-combine
+        layout, or partial external deletion. combined_frame would treat
+        the missing stats as empty and promote derived tables rebuilt
+        from ONE batch over the cumulative ones, silently discarding all
+        prior history. Mid-promotion replays are exempt: their _COMMIT
+        flag routes them to promotion, which restores consistency."""
+        if self._committed(batch_id):
+            return
+        derived = [t for t in derived_tables if self.fs.exists(f"{self.out_dir}/{t}")]
+        missing = [t for t in stats_tables if not self.fs.exists(f"{self.out_dir}/{t}")]
+        if derived and missing:
+            raise RuntimeError(
+                f"cumulative out_dir {self.out_dir!r} has derived table(s) "
+                f"{derived} but is missing stats table(s) {missing} — layout "
+                "migration required: rebuild the stats tables (or start a "
+                "fresh out_dir); resuming would rebuild nodes/edges from a "
+                "single batch and silently discard all prior history."
+            )
+
     # ---- commit protocol ----------------------------------------------
     def run(self, batch_id: int, tables: dict) -> None:
         stage = self._stage_dir(batch_id)

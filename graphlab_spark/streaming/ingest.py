@@ -132,6 +132,9 @@ def start_ingest(
             committer.guard_first_batch(
                 batch_id, ["mention_stats", "triple_stats", "nodes", "edges"]
             )
+            committer.guard_layout(
+                batch_id, ["mention_stats", "triple_stats"], ["nodes", "edges"]
+            )
         if batch_df.isEmpty():
             return
         btag = f"stream_{qtag}_b{batch_id}"

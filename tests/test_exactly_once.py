@@ -142,3 +142,38 @@ def test_resumed_checkpoint_keeps_ctag(spark, tmp_path):
     c2 = BatchCommitter(spark, ckpt, out)  # resume: same checkpoint dir
     assert c2.ctag == c1.ctag
     assert c2.already_applied(0)
+
+
+def test_guard_layout_rejects_missing_stats_tables(spark, tmp_path):
+    """r4 ADVICE: resuming a checkpoint (any batch id) against an
+    out_dir with nodes/edges but no cumulative stats tables must raise
+    (layout migration), not silently rebuild from one batch — except
+    mid-promotion replays, which the _COMMIT flag routes to promotion."""
+    import pytest
+
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    c = BatchCommitter(spark, ckpt, out)
+    one = spark.range(1)
+
+    # derived tables exist, stats missing → raise at batch 3
+    one.write.parquet(f"{out}/nodes")
+    one.write.parquet(f"{out}/edges")
+    with pytest.raises(RuntimeError, match="layout migration"):
+        c.guard_layout(3, ["mention_stats", "triple_stats"], ["nodes", "edges"])
+
+    # consistent layout → passes
+    one.write.parquet(f"{out}/mention_stats")
+    one.write.parquet(f"{out}/triple_stats")
+    c.guard_layout(3, ["mention_stats", "triple_stats"], ["nodes", "edges"])
+
+    # fresh out_dir (nothing exists) → passes
+    c2 = BatchCommitter(spark, str(tmp_path / "ck2"), str(tmp_path / "out2"))
+    c2.guard_layout(0, ["mention_stats", "triple_stats"], ["nodes", "edges"])
+
+    # mid-promotion replay (staging commit flag present) is exempt even
+    # with inconsistent tables on disk
+    c3 = BatchCommitter(spark, str(tmp_path / "ck3"), str(tmp_path / "out3"))
+    one.write.parquet(f"{tmp_path}/out3/nodes")
+    stage = c3._stage_dir(5)
+    c3.fs.mkdirs(f"{stage}/_COMMIT")
+    c3.guard_layout(5, ["mention_stats", "triple_stats"], ["nodes", "edges"])

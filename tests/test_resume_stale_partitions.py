@@ -142,3 +142,69 @@ def test_fully_resumed_run_keeps_old_output_despite_code_change(spark, tmp_path)
     )
     assert set(r2.columns) == {"url", "flag", "val"}  # old output, uniform
     assert r2.count() == 20
+
+
+def test_change_then_revert_recomputes_not_missing(spark, tmp_path):
+    """r4 ADVICE regression: a bucket whose input vanishes (dir deleted)
+    and later REVERTS to its originally recorded fingerprint must
+    recompute — the tombstone manifest row masks the historical
+    fingerprint, so resume can never serve a table permanently missing
+    that bucket's rows."""
+    out = str(tmp_path / "rv")
+    manifest = Manifest(spark, f"{out}/manifest")
+    urls = [f"u{i}" for i in range(60)]
+    rows1 = [(u, True) for u in urls]
+    run_stage(
+        spark, manifest, "r", "st", _input(spark, rows1), "url", _compute,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+
+    # drop every url of one hash bucket → its dir is removed + tombstoned
+    bdf = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        "url", bucket_of("url").alias("b")
+    )
+    by_bucket = {}
+    for r in bdf.collect():
+        by_bucket.setdefault(r.b, []).append(r.url)
+    victim_bucket, victim_urls = max(by_bucket.items(), key=lambda kv: len(kv[1]))
+    rows2 = [(u, True) for u in urls if u not in set(victim_urls)]
+    r2 = run_stage(
+        spark, manifest, "r", "st", _input(spark, rows2), "url", _compute,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+    assert {r.url for r in r2.collect()} == set(rows_u[0] for rows_u in rows2)
+
+    # revert to the ORIGINAL input — same per-bucket fingerprints as run 1
+    r3 = run_stage(
+        spark, manifest, "r", "st", _input(spark, rows1), "url", _compute,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+    assert {r.url for r in r3.collect()} == set(urls)  # nothing missing
+
+
+def test_zero_output_bucket_resumes_without_recompute(spark, tmp_path):
+    """A recomputed bucket that legitimately produced zero rows must
+    resume as done on the next identical run (the genuine-fingerprint
+    stats row, recorded after the tombstone, is the latest one) — not
+    recompute forever."""
+    out = str(tmp_path / "zl")
+    manifest = Manifest(spark, f"{out}/manifest")
+    rows1 = [(f"u{i}", True) for i in range(60)]
+    run_stage(
+        spark, manifest, "r", "st", _input(spark, rows1), "url", _compute,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+    rows2 = [(f"u{i}", i % 2 == 0) for i in range(60)]
+    for _ in range(2):
+        run_stage(
+            spark, manifest, "r", "st", _input(spark, rows2), "url", _compute,
+            f"{out}/o", fp_cols=["url", "flag"],
+        )
+    n_after_second = manifest.read().count()
+    run_stage(
+        spark, manifest, "r", "st", _input(spark, rows2), "url", _compute,
+        f"{out}/o", fp_cols=["url", "flag"],
+    )
+    # third identical run appends NO new manifest rows: all buckets
+    # (including zero-output ones) resumed as done
+    assert manifest.read().count() == n_after_second
