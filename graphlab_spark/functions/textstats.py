@@ -204,18 +204,43 @@ def winnow_fp_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     )
 
 
-def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
-    """Gopher/MassiveText-style repetition quality signals per doc
-    (public rules — Rae et al. 2021 §A1.1): the fraction of tokens
-    covered by the single most frequent token 2-gram, and the fraction
-    of token-3-gram INSTANCES that are duplicated. High values mark
-    boilerplate/spam for training-data filtering.
+REPETITION_TOP_NS = (2, 3, 4)
+REPETITION_DUP_NS = (5, 6, 7, 8, 9, 10)
 
-    Shape: explode grams → one partial-aggregated shuffle keyed
-    (doc, gram) → per-doc window max/sum. Scale-sane: shuffle volume is
-    O(distinct grams), map-side combined; no per-row Python.
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Gopher/MassiveText repetition quality signals per doc — the FULL
+    published n-gram rule set (public rules, Rae et al. 2021 §A1.1):
+
+    - ``top_{2,3,4}gram_frac``: tokens covered by the single most
+      frequent token n-gram, as a fraction of the doc's tokens
+      (``max_count · n / n_tokens``; overlap not deduped, matching the
+      published top-n-gram rule — values can exceed 1 on periodic text).
+    - ``dup_{5..10}gram_char_frac``: characters inside DUPLICATED token
+      n-grams as a fraction of total token characters, with overlapping
+      occurrences counted ONCE (token-position-level dedup; separator
+      whitespace excluded from both numerator and denominator).
+
+    High values mark boilerplate/spam for training-data filtering.
+
+    Shape: all top-ns explode into ONE partial-aggregated (doc, n, gram)
+    shuffle; the dup-ns share one windowed count + a position-distinct +
+    a length join. Shuffle volume is O(tokens · |ns|), map-side
+    combined; no per-row Python. (At 100 TB these per-doc signals could
+    also fold into the fused per-doc Arrow pass with zero shuffle; the
+    JVM-columnar form here keeps Python out of the hot path.)
     """
+    from pyspark.sql import Window
+
     toks = F.split(F.trim(F.col(text)), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col,
+        "_toks",
+        F.size("_toks").alias("n_tokens"),
+        F.expr(
+            "aggregate(transform(_toks, t -> length(t)), 0L, (a, x) -> a + x)"
+        ).alias("n_chars"),
+    )
 
     def grams(n: int):
         # NON-distinct n-grams (counts matter here); tokenization hoisted
@@ -224,31 +249,70 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text"
             f"i -> concat_ws(' ', slice(_toks, i + 1, {n})))"
         )
 
-    base = docs.select(F.col(id_col), toks.alias("_toks")).select(
-        id_col, F.size("_toks").alias("n_tokens"), grams(2).alias("g2"), grams(3).alias("g3")
-    )
-
-    def frac(gcol: str, agg):
-        counts = (
-            base.select(id_col, "n_tokens", F.explode(gcol).alias("g"))
-            .groupBy(id_col, "n_tokens", "g")
-            .agg(F.count(F.lit(1)).alias("c"))
+    # ---- top n-gram token coverage: one union, one shuffle for all n
+    tg = None
+    for n in REPETITION_TOP_NS:
+        part = base.select(
+            id_col, "n_tokens", F.lit(n).alias("n"), F.explode(grams(n)).alias("g")
         )
-        return counts.groupBy(id_col, "n_tokens").agg(agg)
-
-    top2 = frac("g2", F.max("c").alias("max_c")).select(
-        id_col,
-        "n_tokens",
-        F.round(F.col("max_c") * 2.0 / F.col("n_tokens"), 4).alias("top_bigram_frac"),
+        tg = part if tg is None else tg.unionByName(part)
+    top_max = (
+        tg.groupBy(id_col, "n_tokens", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col, "n_tokens", "n")
+        .agg(F.max("c").alias("max_c"))
     )
-    dup3 = frac(
-        "g3",
-        (
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
-            / F.sum("c")
-        ).alias("_d"),
-    ).select(id_col, F.round("_d", 4).alias("dup_trigram_frac"))
-    return top2.join(dup3, id_col)
+    top_wide = top_max.groupBy(id_col, "n_tokens").pivot(
+        "n", [str(n) for n in REPETITION_TOP_NS]
+    ).agg(F.first("max_c"))
+
+    # ---- duplicated n-gram char coverage: shared window/distinct/join
+    dg = None
+    for n in REPETITION_DUP_NS:
+        part = base.select(
+            id_col, F.lit(n).alias("n"), F.posexplode(grams(n)).alias("i", "g")
+        )
+        dg = part if dg is None else dg.unionByName(part)
+    covered = (
+        dg.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy(id_col, "n", "g")))
+        .filter(F.col("c") > 1)
+        .select(id_col, "n", F.explode(F.expr("sequence(i, i + n - 1)")).alias("pos"))
+        .distinct()
+    )
+    toklen = base.select(id_col, F.posexplode("_toks").alias("pos", "t")).select(
+        id_col, "pos", F.length("t").alias("tl")
+    )
+    dup_wide = (
+        covered.join(toklen, [id_col, "pos"])
+        .groupBy(id_col, "n")
+        .agg(F.sum("tl").alias("cov"))
+        .groupBy(id_col)
+        .pivot("n", [str(n) for n in REPETITION_DUP_NS])
+        .agg(F.first("cov"))
+    )
+
+    out_cols = [F.col(id_col), F.col("n_tokens"), F.col("n_chars")]
+    out_cols += [
+        F.round(F.col(str(n)) * float(n) / F.col("n_tokens"), 4).alias(
+            f"top_{n}gram_frac"
+        )
+        for n in REPETITION_TOP_NS
+    ]
+    out_cols += [
+        F.round(
+            F.coalesce(F.col(f"d{n}"), F.lit(0)) * 1.0 / F.col("n_chars"), 4
+        ).alias(f"dup_{n}gram_char_frac")
+        for n in REPETITION_DUP_NS
+    ]
+    dup_renamed = dup_wide.select(
+        id_col, *[F.col(str(n)).alias(f"d{n}") for n in REPETITION_DUP_NS]
+    )
+    return (
+        base.select(id_col, "n_tokens", "n_chars")
+        .join(top_wide.drop("n_tokens"), id_col)
+        .join(dup_renamed, id_col, "left")
+        .select(*out_cols)
+    )
 
 
 # PII scrubbing (C4/CCNet-style preprocessing). Patterns restricted to

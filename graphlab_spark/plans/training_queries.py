@@ -414,32 +414,80 @@ def t08(spark, sf):
     return DD.contaminated_docs(copies, bench, n=13)
 
 
-_G2 = (
-    "list_transform(generate_series(0, greatest(len({t}) - 2, 0)), "
-    "i -> array_to_string({t}[i + 1 : i + 2], ' '))"
-).format(t=_TOKS)
-_G3NODUP = (
-    "list_transform(generate_series(0, greatest(len({t}) - 3, 0)), "
-    "i -> array_to_string({t}[i + 1 : i + 3], ' '))"
-).format(t=_TOKS)
+def _gopher_sql() -> str:
+    """DuckDB mirror of textstats.repetition_stats (full Gopher n-gram
+    rule set): identical gram construction (clamped slices), identical
+    position-level dedup for the duplicated-n-gram char coverage."""
+    from graphlab_spark.functions.textstats import (
+        REPETITION_DUP_NS,
+        REPETITION_TOP_NS,
+    )
+
+    def gstr(n: int) -> str:
+        return (
+            f"list_transform(generate_series(0, greatest(len(tk) - {n}, 0)), "
+            f"i -> array_to_string(tk[i + 1 : i + {n}], ' '))"
+        )
+
+    def gpos(n: int) -> str:
+        return (
+            f"list_transform(generate_series(0, greatest(len(tk) - {n}, 0)), "
+            f"i -> {{'i': i, 'g': array_to_string(tk[i + 1 : i + {n}], ' ')}})"
+        )
+
+    tg_union = " UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, unnest({gstr(n)}) AS g FROM b"
+        for n in REPETITION_TOP_NS
+    )
+    dg_union = " UNION ALL ".join(
+        f"SELECT doc_id, {n} AS n, unnest({gpos(n)}) AS u FROM b"
+        for n in REPETITION_DUP_NS
+    )
+    topw = ", ".join(
+        f"MAX(CASE WHEN n = {n} THEN max_c END) AS m{n}" for n in REPETITION_TOP_NS
+    )
+    dupw = ", ".join(
+        f"MAX(CASE WHEN n = {n} THEN covc END) AS c{n}" for n in REPETITION_DUP_NS
+    )
+    top_out = ", ".join(
+        f"ROUND(topw.m{n} * {n}.0 / b.n_tokens, 4) AS top_{n}gram_frac"
+        for n in REPETITION_TOP_NS
+    )
+    dup_out = ", ".join(
+        f"ROUND(COALESCE(dupw.c{n}, 0) * 1.0 / b.n_chars, 4) AS dup_{n}gram_char_frac"
+        for n in REPETITION_DUP_NS
+    )
+    return (
+        f"WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+        "b AS (SELECT doc_id, len(tk) AS n_tokens, "
+        "CAST(list_aggregate(list_transform(tk, t -> length(t)), 'sum') AS BIGINT) "
+        "AS n_chars, tk FROM base), "
+        f"tg AS (SELECT doc_id, n, g, count(*) AS c FROM ({tg_union}) GROUP BY 1, 2, 3), "
+        "topm AS (SELECT doc_id, n, max(c) AS max_c FROM tg GROUP BY 1, 2), "
+        f"topw AS (SELECT doc_id, {topw} FROM topm GROUP BY doc_id), "
+        f"dgi AS (SELECT doc_id, n, u.i AS i, u.g AS g FROM ({dg_union})), "
+        "dcnt AS (SELECT doc_id, n, i, "
+        "count(*) OVER (PARTITION BY doc_id, n, g) AS c FROM dgi), "
+        "cov AS (SELECT DISTINCT doc_id, n, pos FROM (SELECT doc_id, n, "
+        "unnest(generate_series(i, i + n - 1)) AS pos FROM dcnt WHERE c > 1)), "
+        "tl AS (SELECT doc_id, u.pos AS pos, u.tl AS tl FROM ("
+        "SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)), "
+        "p -> {'pos': p - 1, 'tl': length(tk[p])})) AS u FROM b)), "
+        "dcov AS (SELECT cov.doc_id, cov.n, sum(tl.tl) AS covc FROM cov "
+        "JOIN tl ON cov.doc_id = tl.doc_id AND cov.pos = tl.pos GROUP BY 1, 2), "
+        f"dupw AS (SELECT doc_id, {dupw} FROM dcov GROUP BY doc_id) "
+        f"SELECT b.doc_id, b.n_tokens, b.n_chars, {top_out}, {dup_out} "
+        "FROM b LEFT JOIN topw ON b.doc_id = topw.doc_id "
+        "LEFT JOIN dupw ON b.doc_id = dupw.doc_id"
+    )
 
 
 @q(
     "t10_repetition_stats",
-    "WITH b AS (SELECT doc_id, n_tokens, g, count(*) AS c FROM ("
-    f" SELECT doc_id, {TS.TOKEN_COUNT_SQL} AS n_tokens, unnest({_G2}) AS g "
-    " FROM documents) GROUP BY 1, 2, 3), "
-    "t AS (SELECT doc_id, n_tokens, g, count(*) AS c FROM ("
-    f" SELECT doc_id, {TS.TOKEN_COUNT_SQL} AS n_tokens, unnest({_G3NODUP}) AS g "
-    " FROM documents) GROUP BY 1, 2, 3), "
-    "b2 AS (SELECT doc_id, n_tokens, "
-    " ROUND(MAX(c) * 2.0 / n_tokens, 4) AS top_bigram_frac FROM b GROUP BY 1, 2), "
-    "t2 AS (SELECT doc_id, ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 "
-    " / SUM(c), 4) AS dup_trigram_frac FROM t GROUP BY 1) "
-    "SELECT b2.doc_id, b2.n_tokens, b2.top_bigram_frac, t2.dup_trigram_frac "
-    "FROM b2 JOIN t2 ON b2.doc_id = t2.doc_id",
-    "Gopher-style repetition quality signals: top-bigram token coverage "
-    "and duplicated-trigram instance fraction (boilerplate/spam filter)",
+    _gopher_sql(),
+    "Gopher repetition signals, FULL published n-gram rule set (r4): "
+    "top 2-/3-/4-gram token coverage + duplicated 5-10-gram character "
+    "coverage with overlap-level position dedup (boilerplate/spam filter)",
 )
 def t10(spark, sf):
     return TS.repetition_stats(_t(spark, sf, "documents"))

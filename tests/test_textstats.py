@@ -84,18 +84,38 @@ def test_repetition_stats_known_values(spark):
 
     docs = spark.createDataFrame(
         [
-            # "a b" bigram appears 3x in 6 tokens → top_bigram_frac = 3*2/6 = 1.0;
-            # trigrams: [a b a, b a b, a b a, b a b] → all 4 duplicated → 1.0
+            # "a b" ×3 in 6 tokens → top2 = 3·2/6 = 1.0; top3: "a b a" ×2
+            # → 2·3/6 = 1.0; top4: "a b a b" ×2 → 2·4/6 = 1.3333 (overlap
+            # not deduped, per the published top-n rule); no dup 5-grams
+            # (the two 5-grams differ)
             (1, "a b a b a b"),
-            # all tokens distinct → top bigram count 1 → 2/5; no dup trigrams
+            # all tokens distinct → top-n count 1 → n/5; no dups
             (2, "v w x y z"),
+            # "x y z w v" ×3 → every 5-gram duplicated → all 15 positions
+            # covered → dup5 = 15/15 = 1.0
+            (3, "x y z w v x y z w v x y z w v"),
+            # dup 5-grams {0,6} "p q r s t" and {1,7} "q r s t u" cover
+            # positions 0..11 of 15 → dup5 = 12/15 = 0.8
+            (4, "p q r s t u p q r s t u a b c"),
         ],
         "doc_id long, text string",
     )
-    got = {r.doc_id: (r.n_tokens, r.top_bigram_frac, r.dup_trigram_frac)
-           for r in repetition_stats(docs).collect()}
-    assert got[1] == (6, 1.0, 1.0)
-    assert got[2] == (5, 0.4, 0.0)
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = got[1]
+    assert (r1.n_tokens, r1.n_chars) == (6, 6)
+    assert (r1.top_2gram_frac, r1.top_3gram_frac, r1.top_4gram_frac) == (1.0, 1.0, 1.3333)
+    assert r1.dup_5gram_char_frac == 0.0
+    r2 = got[2]
+    assert (r2.top_2gram_frac, r2.top_3gram_frac, r2.top_4gram_frac) == (0.4, 0.6, 0.8)
+    assert all(
+        getattr(r2, f"dup_{n}gram_char_frac") == 0.0 for n in (5, 6, 7, 8, 9, 10)
+    )
+    assert got[3].dup_5gram_char_frac == 1.0
+    r4 = got[4]
+    assert r4.dup_5gram_char_frac == 0.8
+    # "p q r s t u" ×2 covers positions 0..11 once → dup6 = 12/15
+    assert r4.dup_6gram_char_frac == 0.8
+    assert r4.dup_7gram_char_frac == 0.0  # no duplicated 7-grams
 
 
 def test_redact_pii_counts_and_determinism(spark):
