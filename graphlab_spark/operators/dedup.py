@@ -411,3 +411,70 @@ def contaminated_docs(
         .groupBy("doc_id")
         .agg(F.count_distinct("gh").alias("n_hits"))
     )
+
+
+# ------------------------------------------------ cross-doc line dedup
+
+def line_dedup(
+    docs: DataFrame,
+    min_count: int = 2,
+    min_line_chars: int = 10,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """C4/CCNet-style cross-document LINE dedup (boilerplate removal):
+    a line whose exact text occurs in ≥ ``min_count`` places across the
+    corpus is removed everywhere except one deterministic keeper
+    instance (the globally smallest ``(doc_id, line_no)`` — C4's
+    "removed all but one" rule, made order-independent for a
+    distributed run). Lines shorter than ``min_line_chars`` after trim
+    are never touched (blank/short lines are structure, not
+    boilerplate — the standard guard).
+
+    Returns one row per input doc: (id, clean_text, n_removed, n_kept).
+
+    Scale shape: explode lines → ONE partial-aggregated count keyed on
+    the line text (count + min-struct keeper in the same agg) → shuffle
+    join back on the line → per-doc re-assembly via collect_list +
+    array_sort (deterministic (line_no, line) order, no window sort).
+    The duplicated-lines frame is corpus-sized in the worst case, so it
+    is NEVER broadcast — AQE picks the join; at 10^12 docs pre-hash the
+    join key (xxhash64) the way contaminated_docs does if line strings
+    dominate shuffle volume.
+    """
+    lines = docs.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text), "\n")).alias("line_no", "line")
+    )
+    eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
+    counts = (
+        lines.filter(eligible)
+        .groupBy("line")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("keeper"),
+        )
+        .filter(F.col("c") >= min_count)
+        .select("line", "keeper")
+    )
+    marked = lines.join(counts, "line", "left").withColumn(
+        "_drop",
+        F.col("keeper").isNotNull()
+        & ~(
+            (F.col("keeper")[id_col] == F.col(id_col))
+            & (F.col("keeper")["line_no"] == F.col("line_no"))
+        ),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN NOT _drop THEN "
+                    "struct(line_no, line) END)), s -> s.line)"
+                ),
+            ).alias("clean_text"),
+            F.sum(F.col("_drop").cast("long")).alias("n_removed"),
+            F.sum((~F.col("_drop")).cast("long")).alias("n_kept"),
+        )
+    )

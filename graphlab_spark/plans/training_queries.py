@@ -610,6 +610,53 @@ def t13(spark, sf):
     )
 
 
+_T14_BOILER1 = "Subscribe to our newsletter today for updates"
+_T14_BOILER2 = "Copyright 2024 Example Corp All Rights Reserved"
+
+
+@q(
+    "t14_line_dedup",
+    # Cross-document line dedup over synthesized multi-line docs with
+    # planted boilerplate (the t11 plant pattern). Keeper rule mirrored
+    # as min(doc_id·100 + line_no) — equivalent to the Spark side's
+    # lexicographic min-struct because line_no < 100 here.
+    "WITH d AS (SELECT doc_id, text || chr(10) || "
+    f"'{_T14_BOILER1}' || "
+    f"CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_T14_BOILER2}' ELSE '' END "
+    "|| chr(10) || 'unique tail marker ' || doc_id AS t FROM documents), "
+    "l AS (SELECT doc_id, u.no AS line_no, u.ln AS ln FROM ("
+    " SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)), "
+    " i -> {'no': i - 1, 'ln': ls[i]})) AS u "
+    " FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d))), "
+    "c AS (SELECT ln, min(doc_id * 100 + line_no) AS kk FROM l "
+    " WHERE length(trim(ln)) >= 10 GROUP BY ln HAVING count(*) >= 2), "
+    "m AS (SELECT l.doc_id, l.line_no, l.ln, "
+    " (c.ln IS NOT NULL AND l.doc_id * 100 + l.line_no <> c.kk) AS dr "
+    " FROM l LEFT JOIN c ON l.ln = c.ln) "
+    "SELECT doc_id, "
+    "md5(string_agg(CASE WHEN NOT dr THEN ln END, chr(10) ORDER BY line_no)) "
+    "AS clean_md5, "
+    "CAST(sum(CASE WHEN dr THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, "
+    "CAST(sum(CASE WHEN dr THEN 0 ELSE 1 END) AS BIGINT) AS n_kept "
+    "FROM m GROUP BY doc_id",
+    "C4/CCNet-style cross-document line dedup (boilerplate removal): "
+    "duplicated eligible lines removed everywhere except one "
+    "deterministic keeper; short lines untouched",
+)
+def t14(spark, sf):
+    t = F.concat(
+        F.col("text"),
+        F.lit("\n" + _T14_BOILER1),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("\n" + _T14_BOILER2)).otherwise(F.lit("")),
+        F.lit("\nunique tail marker "),
+        F.col("doc_id").cast("string"),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", t.alias("text"))
+    return DD.line_dedup(docs).select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_removed", "n_kept"
+    )
+
+
 @q(
     "t07_winnowing_fp",
     TS.winnow_fp_sql(),
@@ -872,6 +919,7 @@ from graphlab_spark.plans.relational import reorder_registry_last  # noqa: E402
 reorder_registry_last(
     [
         # oracled, rotated out this round (recorded PASS in r1+r2+r3)
+        "a01_filter_eq",
         "a02_filter_null_tombstone",
         "a04_disjunction",
         "a05_conjunction",

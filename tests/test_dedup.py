@@ -129,3 +129,36 @@ def test_contaminated_docs_flags_only_overlaps(spark):
     got = {r.doc_id: r.n_hits for r in contaminated_docs(corpus, bench, n=13).collect()}
     assert set(got) == {100}
     assert got[100] == 18  # 30-token doc shares all 18 of bench's 13-grams
+
+
+def test_line_dedup_keeper_and_guards(spark):
+    """Cross-doc line dedup: duplicated eligible lines removed except
+    the globally-smallest (doc_id, line_no) keeper; short lines never
+    touched; within-doc repeats count too."""
+    from graphlab_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha unique first line\nshared boilerplate line here\nshort"),
+            (2, "beta unique line two\nshared boilerplate line here"),
+            (3, "gamma\nshared boilerplate line here"),
+            # same eligible line twice WITHIN one doc → second instance dropped
+            (4, "repeat me exactly now\nrepeat me exactly now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert got[1].clean_text == "alpha unique first line\nshared boilerplate line here\nshort"
+    assert (got[1].n_removed, got[1].n_kept) == (0, 3)
+    assert got[2].clean_text == "beta unique line two"
+    assert (got[2].n_removed, got[2].n_kept) == (1, 1)
+    assert got[3].clean_text == "gamma"  # 'gamma' is short → untouched
+    assert got[4].clean_text == "repeat me exactly now"
+    assert (got[4].n_removed, got[4].n_kept) == (1, 1)
+
+    # min_count=4: no line occurs 4x → nothing removed anywhere
+    got4 = {r.doc_id: r for r in line_dedup(docs, min_count=4).collect()}
+    assert all(r.n_removed == 0 for r in got4.values())
+    # min_count=3: the 3x shared line goes, the 2x within-doc repeat stays
+    got3 = {r.doc_id: r for r in line_dedup(docs, min_count=3).collect()}
+    assert got3[2].n_removed == 1 and got3[4].n_removed == 0

@@ -44,6 +44,7 @@ def test_cap_split_is_intentional():
     # these ten have identical recorded passes in CORRECTNESS_r01–r03 and
     # rotate out so the r3 past-cap gates get driver records this round.
     parked_oracled = {
+        "a01_filter_eq",
         "a02_filter_null_tombstone",
         "a04_disjunction",
         "a05_conjunction",
