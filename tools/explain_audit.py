@@ -226,6 +226,55 @@ def main() -> None:
     pr = pagerank(edges_df, n_iter=2, driver_max_nodes=0)  # force distributed path
     ok_all &= check("pagerank distributed path produces ranks", pr.count() > 0)
 
+    # 11. r4 operators
+    # t13 URL canonicalization is a pure projection: zero Exchange
+    p = plan_of(REGISTRY["t13_url_canonical"].fn(spark, sf_dir))
+    ok_all &= check("t13 url canonicalization zero Exchange", "Exchange" not in p)
+    ok_all &= check("t13 stays whole-stage codegen (no Python)", "EvalPython" not in p)
+    # t14 line dedup: no cartesian, no broadcast of the (corpus-sized in
+    # the worst case) duplicated-lines frame, map-side partial count
+    t14_df = REGISTRY["t14_line_dedup"].fn(spark, sf_dir)
+    p = plan_of(t14_df)
+    ok_all &= check("t14 line dedup no CartesianProduct", "CartesianProduct" not in p)
+    # the dup-lines side must not be FORCE-broadcast in code (it is
+    # corpus-sized in the worst case); the planner choosing a broadcast
+    # at this tiny SF is fine and adaptive
+    analyzed = t14_df._jdf.queryExecution().analyzed().toString()
+    ok_all &= check("t14 dup-lines frame not hint-broadcast", "ResolvedHint" not in analyzed)
+    ok_all &= check("t14 count partial-aggregates map-side", "partial_count" in p)
+    # t12 BPE counting: exactly one Arrow-batched Python eval, no shuffle
+    # (formatted plans print each node twice: tree + details)
+    p = plan_of(REGISTRY["t12_bpe_token_count"].fn(spark, sf_dir))
+    ok_all &= check("t12 bpe single ArrowEvalPython", p.count("ArrowEvalPython") == 2)
+    ok_all &= check(
+        "t12 bpe doc_id filter pushed to scan", "LessThan(doc_id,400)" in p
+    )
+    ok_all &= check("t12 bpe zero Exchange", "Exchange" not in p)
+    # WARC path-streaming mode: the binaryFile content column is pruned
+    # from the scan (only paths are listed; bytes stream from the file)
+    import gzip as _gz
+
+    import tempfile as _tf
+
+    from graphlab_spark.sources.warc import read_warc
+
+    with _tf.TemporaryDirectory() as td:
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 10\r\n\r\n"
+            b"HTTP\r\n\r\nhi" + b"\r\n\r\n"
+        )
+        pth = f"{td}/a.warc.gz"
+        with open(pth, "wb") as fh:
+            fh.write(_gz.compress(rec))
+        p = plan_of(read_warc(spark, pth))
+        rs = [l for l in p.splitlines() if "ReadSchema" in l]
+        ok_all &= check(
+            "warc path mode prunes binary content from the scan",
+            bool(rs) and "content" not in rs[0],
+            rs[0] if rs else "no ReadSchema",
+        )
+
     print("\nAUDIT", "PASS" if ok_all else "HAS WARNINGS")
     sys.exit(0 if ok_all else 1)
 
