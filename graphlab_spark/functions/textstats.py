@@ -315,6 +315,168 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text"
     )
 
 
+def doc_dup_line_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Gopher §A1.1 rules 1-4 — WITHIN-document duplicate structure:
+    duplicate line fraction, duplicate paragraph fraction (instances
+    beyond the first occurrence over total instances), and their
+    character fractions (characters of the duplicate instances over all
+    unit characters; separators excluded both sides). Paragraphs split
+    on blank lines (``\\n\\n``), lines on ``\\n``.
+
+    Pure per-row higher-order column expressions — ZERO shuffle, whole
+    corpus scales embarrassingly; the cross-document complement is
+    operators.dedup.line_dedup."""
+
+    def unit_stats(sep: str, name: str) -> list[Column]:
+        arr = F.split(F.col(text), sep)
+        dist = F.array_distinct(arr)
+        n, nd = F.size(arr), F.size(dist)
+        ch = F.expr(
+            f"aggregate(split({text}, '{sep}'), 0L, (a, x) -> a + length(x))"
+        )
+        chd = F.expr(
+            f"aggregate(array_distinct(split({text}, '{sep}')), 0L, (a, x) -> a + length(x))"
+        )
+        return [
+            F.round((n - nd) * 1.0 / n, 4).alias(f"dup_{name}_frac"),
+            F.round(
+                F.when(ch > 0, (ch - chd) * 1.0 / ch).otherwise(F.lit(0.0)), 4
+            ).alias(f"dup_{name}_char_frac"),
+        ]
+
+    return docs.select(
+        F.col(id_col),
+        *unit_stats("\n", "line"),
+        *unit_stats("\n\n", "para"),
+    )
+
+
+DOC_DUP_LINE_SQL = (
+    "SELECT doc_id, "
+    "ROUND((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 4) AS dup_line_frac, "
+    "ROUND(CASE WHEN lc > 0 THEN (lc - lcd) * 1.0 / lc ELSE 0 END, 4) AS dup_line_char_frac, "
+    "ROUND((len(ps) - len(list_distinct(ps))) * 1.0 / len(ps), 4) AS dup_para_frac, "
+    "ROUND(CASE WHEN pc > 0 THEN (pc - pcd) * 1.0 / pc ELSE 0 END, 4) AS dup_para_char_frac "
+    "FROM (SELECT doc_id, ls, ps, "
+    "CAST(list_aggregate(list_transform(ls, x -> length(x)), 'sum') AS BIGINT) AS lc, "
+    "CAST(list_aggregate(list_transform(list_distinct(ls), x -> length(x)), 'sum') AS BIGINT) AS lcd, "
+    "CAST(list_aggregate(list_transform(ps, x -> length(x)), 'sum') AS BIGINT) AS pc, "
+    "CAST(list_aggregate(list_transform(list_distinct(ps), x -> length(x)), 'sum') AS BIGINT) AS pcd "
+    "FROM (SELECT doc_id, string_split({t}, chr(10)) AS ls, "
+    "str_split_regex({t}, chr(10) || chr(10)) AS ps FROM {src}))"
+)
+
+
+# Gopher §A1.1 quality-filter rules (the non-repetition set). The 8
+# published stop words of the "contains ≥2 stop words" rule:
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Gopher §A1.1 quality rules as per-doc stats + the published
+    pass/fail decision (Rae et al. 2021): word count in [50, 100k],
+    mean word length in [3, 10], symbol-to-word ratio ('#' chars +
+    '...' occurrences) ≤ 0.1, ≤ 90% of lines bullet-led ('-', '*', '•'),
+    ≤ 30% of lines ellipsis-ended, ≥ 80% of words containing an
+    alphabetic char, and ≥ 2 distinct Gopher stop words present.
+
+    Pure JVM column expressions over the words/lines arrays — zero
+    shuffle; the repetition rules live in repetition_stats (cross-gram)
+    and doc_dup_line_stats (within-doc structure)."""
+    t = F.col(text)
+    words = F.split(F.trim(t), r"\s+")
+    lines = F.split(t, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    wchars = F.expr(
+        f"aggregate(split(trim({text}), '\\\\s+'), 0L, (a, x) -> a + length(x))"
+    )
+    mean_wl = wchars * 1.0 / n_words
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) * 1.0 / n_words
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).startswith("-")
+                | F.trim(ln).startswith("*")
+                | F.trim(ln).startswith("•"),
+            )
+        )
+        * 1.0
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda ln: F.trim(ln).endswith("..."))) * 1.0 / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) * 1.0 / n_words
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda sw: F.array_contains(
+                F.transform(words, lambda w: F.lower(w)), sw
+            ),
+        )
+    )
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stop_word_hits"),
+        passes.alias("passes_gopher_quality"),
+    )
+
+
+def gopher_quality_sql(src: str, text: str = "text") -> str:
+    """DuckDB mirror of gopher_quality_stats over ``src`` (a relation
+    with doc_id + ``text``); pass/fail computed on UNROUNDED values in
+    both engines."""
+    sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return (
+        "SELECT doc_id, n_words, ROUND(mean_wl, 4) AS mean_word_len, "
+        "ROUND(symbol_ratio, 4) AS symbol_word_ratio, "
+        "ROUND(bullet_frac, 4) AS bullet_line_frac, "
+        "ROUND(ellipsis_frac, 4) AS ellipsis_line_frac, "
+        "ROUND(alpha_frac, 4) AS alpha_word_frac, "
+        "CAST(stop_hits AS INT) AS stop_word_hits, "
+        "(n_words >= 50 AND n_words <= 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0 "
+        "AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 "
+        "AND alpha_frac >= 0.8 AND stop_hits >= 2) AS passes_gopher_quality "
+        "FROM (SELECT doc_id, len(ws) AS n_words, "
+        "list_aggregate(list_transform(ws, x -> length(x)), 'sum') * 1.0 / len(ws) AS mean_wl, "
+        f"((length({text}) - length(replace({text}, '#', ''))) + "
+        f"(length({text}) - length(replace({text}, '...', ''))) / 3) * 1.0 / len(ws) AS symbol_ratio, "
+        "len(list_filter(ls, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*') "
+        "OR starts_with(trim(l), '•'))) * 1.0 / len(ls) AS bullet_frac, "
+        "len(list_filter(ls, l -> ends_with(trim(l), '...'))) * 1.0 / len(ls) AS ellipsis_frac, "
+        "len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0 / len(ws) AS alpha_frac, "
+        f"len(list_filter([{sw}], sw -> list_contains(list_transform(ws, w -> lower(w)), sw))) AS stop_hits "
+        f"FROM (SELECT doc_id, {text}, "
+        f"regexp_split_to_array(trim({text}), '\\s+') AS ws, "
+        f"string_split({text}, chr(10)) AS ls FROM {src}))"
+    )
+
+
 # PII scrubbing (C4/CCNet-style preprocessing). Patterns restricted to
 # syntax shared by Java regex (Spark) and RE2 (DuckDB): character
 # classes, bounded repeats, \b — no lookarounds.

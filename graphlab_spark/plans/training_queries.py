@@ -658,6 +658,63 @@ def t14(spark, sf):
 
 
 @q(
+    "t15_doc_dup_structure",
+    # Within-doc duplicate structure (Gopher §A1.1 rules 1-4) over
+    # synthesized multi-line docs: every doc gets a twice-repeated
+    # boilerplate line; every 4th doc additionally repeats its whole
+    # body as a second paragraph.
+    "WITH d AS (SELECT doc_id, text || chr(10) || "
+    f"'{_T14_BOILER1}' || chr(10) || '{_T14_BOILER1}' AS b FROM documents), "
+    "d2 AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN "
+    "b || chr(10) || chr(10) || b ELSE b END AS t FROM d) "
+    + TS.DOC_DUP_LINE_SQL.format(t="t", src="d2"),
+    "Gopher within-document duplicate line/paragraph fractions "
+    "(instance + character) — zero-shuffle per-row column expressions; "
+    "cross-document complement is t14",
+)
+def t15(spark, sf):
+    b = F.concat(
+        F.col("text"),
+        F.lit("\n" + _T14_BOILER1 + "\n" + _T14_BOILER1),
+    )
+    t = F.when(F.col("doc_id") % 4 == 0, F.concat(b, F.lit("\n\n"), b)).otherwise(b)
+    docs = _t(spark, sf, "documents").select("doc_id", t.alias("text"))
+    return TS.doc_dup_line_stats(docs)
+
+
+_T16_SRC_SQL = (
+    "(SELECT doc_id, text "
+    "|| CASE WHEN doc_id % 5 = 1 THEN ' ### ## #' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 2 THEN ' trailing thought ...' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 3 THEN chr(10) || '- first bullet' || chr(10) "
+    "|| '- second bullet' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 4 THEN chr(10) || 'fading out...' || chr(10) "
+    "|| 'also gone...' ELSE '' END AS text FROM documents) s"
+)
+
+
+@q(
+    "t16_gopher_quality",
+    TS.gopher_quality_sql(_T16_SRC_SQL),
+    "Gopher quality-filter rules (word count/length bounds, symbol "
+    "ratio, bullet/ellipsis line fractions, alphabetic-word fraction, "
+    "stop-word rule) + the published pass/fail decision — zero-shuffle "
+    "JVM expressions; planted features exercise every rule",
+)
+def t16(spark, sf):
+    d = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(d % 5 == 1, F.lit(" ### ## #")).otherwise(F.lit("")),
+        F.when(d % 5 == 2, F.lit(" trailing thought ...")).otherwise(F.lit("")),
+        F.when(d % 5 == 3, F.lit("\n- first bullet\n- second bullet")).otherwise(F.lit("")),
+        F.when(d % 5 == 4, F.lit("\nfading out...\nalso gone...")).otherwise(F.lit("")),
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", t.alias("text"))
+    return TS.gopher_quality_stats(docs)
+
+
+@q(
     "t07_winnowing_fp",
     TS.winnow_fp_sql(),
     "winnowing document fingerprints: rolling k-gram hashes, per-window "
@@ -924,7 +981,9 @@ reorder_registry_last(
         "a04_disjunction",
         "a05_conjunction",
         "a06_in_list",
+        "a07_sort_topk",
         "a08_pagination",
+        "a09_count",
         "a12_avg",
         "a13_histogram",
         "a14_conditional_count",

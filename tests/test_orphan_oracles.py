@@ -49,7 +49,9 @@ def test_cap_split_is_intentional():
         "a04_disjunction",
         "a05_conjunction",
         "a06_in_list",
+        "a07_sort_topk",
         "a08_pagination",
+        "a09_count",
         "a12_avg",
         "a13_histogram",
         "a14_conditional_count",

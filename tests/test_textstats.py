@@ -134,3 +134,60 @@ def test_redact_pii_counts_and_determinism(spark):
     # determinism: same input → same fingerprint
     again = {r.doc_id: r.redacted_md5 for r in redact_pii(docs).collect()}
     assert {k: v[2] for k, v in got.items()} == again
+
+
+def test_doc_dup_line_stats_known_values(spark):
+    from graphlab_spark.functions.textstats import doc_dup_line_stats
+
+    docs = spark.createDataFrame(
+        [
+            # lines: 3, distinct 2 → 1/3; chars 29, distinct 19 → 10/29
+            (1, "aaaa bbbb\nxxxxxxxxxx\nxxxxxxxxxx"),
+            # duplicated whole paragraph; the blank-split lines are
+            # ["p1 body", "", "p1 body"] → 1/3 by instance, 7/14 by char
+            (2, "p1 body\n\np1 body"),
+            (3, "all unique\nlines here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in doc_dup_line_stats(docs).collect()}
+    r1 = got[1]
+    assert (r1.dup_line_frac, r1.dup_line_char_frac) == (0.3333, 0.3448)
+    assert (r1.dup_para_frac, r1.dup_para_char_frac) == (0.0, 0.0)
+    r2 = got[2]
+    assert (r2.dup_line_frac, r2.dup_line_char_frac) == (0.3333, 0.5)
+    assert (r2.dup_para_frac, r2.dup_para_char_frac) == (0.5, 0.5)
+    r3 = got[3]
+    assert (r3.dup_line_frac, r3.dup_para_frac) == (0.0, 0.0)
+
+
+def test_gopher_quality_stats_rules(spark):
+    from graphlab_spark.functions.textstats import gopher_quality_stats
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then it ran to "
+        "be with all of that pack that have come along with many other "
+        "animals that move through the quiet forest every single day "
+        "while keeping to the well worn path of least resistance ahead "
+        "under clear open skies"
+    )  # 52 words (>=50), mean len in range, stop words, all alphabetic
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short to pass"),
+            (3, good + " ### ### ### ### ### ### ### ### ### ###"),  # symbol ratio
+            (4, "- a\n- b\n- c\n- d"),  # all lines bullet-led
+            (5, good.replace("the", "zzz").replace("to", "qq")
+                 .replace("and", "xx").replace("of", "yy")
+                 .replace("that", "ww").replace("with", "vv")
+                 .replace("have", "uu").replace("be", "tt")),  # no stop words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_stats(docs).collect()}
+    assert got[1].passes_gopher_quality
+    assert got[1].stop_word_hits >= 2 and got[1].alpha_word_frac == 1.0
+    assert not got[2].passes_gopher_quality  # n_words < 50
+    assert not got[3].passes_gopher_quality and got[3].symbol_word_ratio > 0.1
+    assert got[4].bullet_line_frac == 1.0 and not got[4].passes_gopher_quality
+    assert got[5].stop_word_hits < 2 and not got[5].passes_gopher_quality
