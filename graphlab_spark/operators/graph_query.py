@@ -85,6 +85,117 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over the undirected
+    distinct edge set → (id, triangles), nodes with ≥1 triangle only.
+
+    Enumeration uses DEGREE-ORDERED ORIENTATION: each undirected edge is
+    directed from its lower-(deg, id) endpoint to its higher one, and
+    triangles are found as oriented wedges (a→b, a→c) closed by b→c.
+    Every triangle is enumerated exactly once, and — the 10^12-edge
+    reason — the wedge join's fan-out per node is bounded by its
+    ORIENTED out-degree, which degree ordering caps near sqrt(E) even
+    for celebrity nodes (arboricity bound; cf. Suri & Vassilvitskii,
+    WWW'11). A plain id-ordered orientation would leave a hot low-id hub
+    with out-degree = its full degree, and the wedge self-join on that
+    key becomes the skew bottleneck. The count itself is orientation-
+    independent, so an oracle may enumerate with simple id ordering.
+
+    Plan: one degree agg (partial-agg shuffle), one broadcast-or-shuffle
+    join to orient, one self-join on the wedge pivot, one join to close,
+    one explode+groupBy — all DataFrame algebra, no Python.
+    """
+    und = undirected(edges)  # symmetric distinct (src, dst)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # orient: keep (u, v) iff (deg(u), u) < (deg(v), v)
+    e = (
+        und.join(deg.withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("deg", "sdeg")
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg")),
+            "dst",
+        )
+        .filter(
+            (F.col("sdeg") < F.col("ddeg"))
+            | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    wedges = (
+        e.alias("ab")
+        .join(e.alias("ac"), F.col("ab.u") == F.col("ac.u"))
+        .filter(F.col("ab.v") < F.col("ac.v"))
+        .select(
+            F.col("ab.u").alias("a"),
+            F.col("ab.v").alias("b"),
+            F.col("ac.v").alias("c"),
+        )
+    )
+    # close the wedge: b→c or c→b must be an oriented edge; orientation
+    # is a total order so exactly one direction can exist — check b→c
+    # first, then c→b (b < c lexically but orientation is by degree)
+    closed = wedges.join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"]
+    ).unionByName(
+        wedges.join(
+            e.select(F.col("v").alias("b"), F.col("u").alias("c")), ["b", "c"]
+        )
+    )
+    return (
+        closed.select(
+            F.explode(F.array("a", "b", "c")).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
+def neighbor_jaccard(edges: DataFrame, min_common: int = 2) -> DataFrame:
+    """Node-pair neighborhood Jaccard similarity over the undirected
+    distinct adjacency → (a, b, common, jaccard) for unordered pairs
+    (a < b) sharing at least ``min_common`` neighbors. The classic
+    link-prediction / entity-similarity primitive: two canonical
+    entities whose graph neighborhoods overlap heavily are candidate
+    merge targets the text-side MinHash may have missed.
+
+    Plan: common counts come from ONE self-join of the adjacency on the
+    shared-neighbor pivot + a partial-aggregated groupBy on (a, b);
+    degrees join in afterwards (node-sized, broadcastable). At 10^12
+    edges the pivot join is the wedge join again — same degree-skew
+    story as triangle_count; cap fan-out by dropping super-hub pivots
+    (a neighbor shared via a 10^8-degree hub carries ~zero signal) with
+    a pre-filter on pivot degree when the corpus calls for it.
+    """
+    und = undirected(edges)  # (src=node, dst=neighbor), symmetric
+    adj = und.select(F.col("src").alias("node"), F.col("dst").alias("nb"))
+    pairs = (
+        adj.alias("x")
+        .join(adj.alias("y"), F.col("x.nb") == F.col("y.nb"))
+        .filter(F.col("x.node") < F.col("y.node"))
+        .groupBy(
+            F.col("x.node").alias("a"), F.col("y.node").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        pairs.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common") * 1.0 / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

@@ -714,6 +714,40 @@ def t16(spark, sf):
     return TS.gopher_quality_stats(docs)
 
 
+_T17_NTOK = "len(regexp_split_to_array(trim(text), '\\s+'))"
+_T17_STAGE = (
+    "SELECT '{name}' AS stage, COUNT(*) AS docs, "
+    f"CAST(SUM({_T17_NTOK}) AS BIGINT) AS tokens FROM {{src}}"
+)
+
+
+@q(
+    "t17_curation_funnel",
+    # the composed pipeline: quality gate → exact dedup (min-doc_id
+    # keeper) → per-domain quota, each stage mirrored from its own
+    # already-oracled form (t02 / d02 / t09)
+    "WITH s2 AS (SELECT * FROM documents "
+    f"WHERE ({TS.QUALITY_SCORE_SQL}) >= 500), "
+    "s3 AS (SELECT * FROM (SELECT s2.*, row_number() OVER "
+    f"(PARTITION BY {TS.FINGERPRINT_SQL} ORDER BY doc_id ASC) AS rn "
+    "FROM s2) WHERE rn = 1), "
+    "s4 AS (SELECT * FROM (SELECT s3.*, row_number() OVER "
+    f"(PARTITION BY source ORDER BY ({TS.QUALITY_SCORE_SQL}) DESC, "
+    "doc_id ASC) AS rk FROM s3) WHERE rk <= 20) "
+    + _T17_STAGE.format(name="1_total", src="documents")
+    + " UNION ALL " + _T17_STAGE.format(name="2_quality_gate", src="s2")
+    + " UNION ALL " + _T17_STAGE.format(name="3_exact_dedup", src="s3")
+    + " UNION ALL " + _T17_STAGE.format(name="4_domain_quota", src="s4"),
+    "end-to-end curation funnel (quality gate → exact dedup → domain "
+    "quota) reporting survivor docs + token mass per stage — the "
+    "composed training-data pipeline as one call",
+)
+def t17(spark, sf):
+    from graphlab_spark.operators.curation import curation_funnel
+
+    return curation_funnel(_t(spark, sf, "documents"))
+
+
 @q(
     "t07_winnowing_fp",
     TS.winnow_fp_sql(),
@@ -912,6 +946,58 @@ def kg_degrees(spark, sf):
     return degrees(_kg_pipeline(spark)["edges"])
 
 
+_GOLDEN_UND = (
+    "WITH e0 AS (SELECT DISTINCT subj_id AS src, obj_id AS dst "
+    f"FROM '{REPO_FIXTURES}/golden_triples.parquet'), "
+    "u AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)"
+)
+
+
+@q(
+    "kg_triangle_count",
+    # oracle enumerates with simple id ordering (a<b, b<c) — the count
+    # is orientation-independent; the Spark side uses degree-ordered
+    # orientation (the skew-bounded 100-TB enumeration)
+    _GOLDEN_UND + ", "
+    "e AS (SELECT src AS a, dst AS b FROM u WHERE src < dst), "
+    "tri AS (SELECT e1.a, e1.b, e2.b AS c "
+    " FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b "
+    " JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) "
+    "SELECT id, COUNT(*) AS triangles FROM "
+    "(SELECT a AS id FROM tri UNION ALL SELECT b FROM tri "
+    " UNION ALL SELECT c FROM tri) GROUP BY 1",
+    "graph analytics: per-node triangle counts over the live canonical "
+    "edges via degree-ordered wedge enumeration (arboricity-bounded "
+    "join fan-out) vs an id-ordered DuckDB enumeration of the frozen "
+    "golden adjacency",
+)
+def kg_triangles(spark, sf):
+    from graphlab_spark.operators.graph_query import triangle_count
+
+    return triangle_count(_kg_pipeline(spark)["edges"])
+
+
+@q(
+    "kg_neighbor_jaccard",
+    _GOLDEN_UND + ", "
+    "adj AS (SELECT src AS node, dst AS nb FROM u), "
+    "deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY 1), "
+    "p AS (SELECT x.node AS a, y.node AS b, COUNT(*) AS common "
+    " FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node "
+    " GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+    "SELECT a, b, common, "
+    "ROUND(common * 1.0 / (da.deg + db.deg - common), 6) AS jaccard "
+    "FROM p JOIN deg da ON p.a = da.node JOIN deg db ON p.b = db.node",
+    "graph analytics: neighborhood-Jaccard entity similarity (the "
+    "link-prediction / merge-candidate primitive) over the live "
+    "canonical edges vs the frozen golden adjacency",
+)
+def kg_jaccard(spark, sf):
+    from graphlab_spark.operators.graph_query import neighbor_jaccard
+
+    return neighbor_jaccard(_kg_pipeline(spark)["edges"], min_common=2)
+
+
 @q(
     "kg_pagerank_top",
     None,  # iterative float algorithm: rows-only here; the semantic gate
@@ -968,9 +1054,10 @@ def kg_c14(spark, sf):
 # that every oracled gate accumulates an independent driver record
 # across rounds — this round parks ten relational/aggregate entries that
 # passed identically in CORRECTNESS_r01–r03, bringing the r3 past-cap
-# gates (e04 e05 d07 t08–t12 a03 a15) INTO the recorded window. The 7
-# kg_* north-star gates always stay in-window. Everything parked still
-# runs under tools/check_oracles.py and tests/test_orphan_oracles.py.
+# gates (e04 e05 d07 t08–t12 a03 a15) INTO the recorded window. The
+# kg_* north-star gates (now 9 with the r4 triangle/jaccard graph
+# analytics) always stay in-window. Everything parked still runs under
+# tools/check_oracles.py and tests/test_orphan_oracles.py.
 from graphlab_spark.plans.relational import reorder_registry_last  # noqa: E402
 
 reorder_registry_last(
@@ -984,12 +1071,15 @@ reorder_registry_last(
         "a07_sort_topk",
         "a08_pagination",
         "a09_count",
+        "a10_max",
+        "a11_group_count",
         "a12_avg",
         "a13_histogram",
         "a14_conditional_count",
         "a16_ci_distinct",
         "a17_single_upsert",
         "a19_delete_not_found",
+        "a20_set_diff",
         # rows-only by design (weaker record either way)
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",

@@ -125,3 +125,55 @@ def test_pagerank_loop_has_no_driver_sync():
         ]
         assert "collect" not in calls, "driver sync inside the PageRank loop"
         assert "count" not in calls, "driver sync inside the PageRank loop"
+
+
+def test_triangle_count_hand_graph(spark):
+    from graphlab_spark.operators.graph_query import triangle_count
+
+    # undirected triangles: (1,2,3) and (1,3,4); duplicate + reverse
+    # edges and a self-loop must not change the count
+    e = spark.createDataFrame(
+        [
+            ("1", "p", "2"),
+            ("2", "p", "3"),
+            ("1", "p", "3"),
+            ("3", "p", "4"),
+            ("4", "p", "1"),
+            ("3", "q", "2"),  # reverse duplicate of 2-3
+            ("2", "q", "3"),  # parallel duplicate
+            ("5", "p", "5"),  # self-loop: never a triangle corner
+        ],
+        "src string, pred string, dst string",
+    )
+    got = {r.id: r.triangles for r in triangle_count(e).collect()}
+    assert got == {"1": 2, "3": 2, "2": 1, "4": 1}
+
+
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from graphlab_spark.operators.graph_query import triangle_count, undirected
+
+    und = {(r.src, r.dst) for r in undirected(edges).collect()}
+    nodes = sorted({n for p in und for n in p})
+    expected: dict[str, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in und and (b, c) in und and (a, c) in und:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    got = {r.id: r.triangles for r in triangle_count(edges).collect()}
+    assert got == expected and expected  # non-trivial on this fixture
+
+
+def test_neighbor_jaccard_hand_graph(spark):
+    from graphlab_spark.operators.graph_query import neighbor_jaccard
+
+    e = spark.createDataFrame(
+        [("1", "p", "2"), ("2", "p", "3"), ("1", "p", "3"),
+         ("3", "p", "4"), ("4", "p", "1")],
+        "src string, pred string, dst string",
+    )
+    # adjacency: 1:{2,3,4} 2:{1,3} 3:{1,2,4} 4:{1,3}
+    got = {(r.a, r.b): (r.common, r.jaccard)
+           for r in neighbor_jaccard(e, min_common=2).collect()}
+    assert got == {("1", "3"): (2, 0.5), ("2", "4"): (2, 1.0)}

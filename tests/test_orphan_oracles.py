@@ -52,12 +52,15 @@ def test_cap_split_is_intentional():
         "a07_sort_topk",
         "a08_pagination",
         "a09_count",
+        "a10_max",
+        "a11_group_count",
         "a12_avg",
         "a13_histogram",
         "a14_conditional_count",
         "a16_ci_distinct",
         "a17_single_upsert",
         "a19_delete_not_found",
+        "a20_set_diff",
     }
     beyond = set(names[DRIVER_CAP:])
     assert {n for n in beyond if n in oracles} <= parked_oracled
