@@ -275,6 +275,30 @@ def main() -> None:
             rs[0] if rs else "no ReadSchema",
         )
 
+    # 12. r4 graph analytics: join-based enumeration, never cartesian,
+    # counts partial-aggregated map-side
+    from graphlab_spark.operators.graph_query import neighbor_jaccard, triangle_count
+
+    edges_small = spark.createDataFrame(
+        [("1", "p", "2"), ("2", "p", "3"), ("1", "p", "3"), ("3", "p", "4")],
+        "src string, pred string, dst string",
+    )
+    p = plan_of(triangle_count(edges_small))
+    ok_all &= check("triangle_count no CartesianProduct", "CartesianProduct" not in p)
+    ok_all &= check(
+        "triangle_count final count partial-aggregates map-side", "partial_count" in p
+    )
+    p = plan_of(neighbor_jaccard(edges_small))
+    ok_all &= check("neighbor_jaccard no CartesianProduct", "CartesianProduct" not in p)
+    ok_all &= check(
+        "neighbor_jaccard pair count partial-aggregates map-side", "partial_count" in p
+    )
+    # t17 funnel: stage reports are global partial-aggregated counts/sums
+    # — no windows or shuffles beyond the constituent dedup/quota ones
+    p = plan_of(REGISTRY["t17_curation_funnel"].fn(spark, sf_dir))
+    ok_all &= check("t17 funnel no CartesianProduct", "CartesianProduct" not in p)
+    ok_all &= check("t17 funnel partial-aggregated stage sums", "partial_count" in p)
+
     print("\nAUDIT", "PASS" if ok_all else "HAS WARNINGS")
     sys.exit(0 if ok_all else 1)
 
