@@ -748,6 +748,42 @@ def t17(spark, sf):
     return curation_funnel(_t(spark, sf, "documents"))
 
 
+_T18_V = f"(SELECT COUNT(*) + 1 FROM '{REPO_FIXTURES}/lm_unigrams.parquet')"
+
+
+@q(
+    "t18_lm_perplexity",
+    # the frozen bigram LM scored in pure SQL: same tokenization (lower
+    # + trim + whitespace split), same add-0.5 smoothing, same V =
+    # distinct unigrams + 1 OOV type; ln/exp 1-ulp noise absorbed by
+    # ROUND(.., 6) after the per-doc average (the d06 precedent)
+    "WITH toks AS (SELECT doc_id, "
+    "regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents), "
+    "big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM "
+    "(SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i "
+    "FROM toks WHERE len(t) >= 2)), "
+    "sc AS (SELECT b.doc_id, "
+    f"ln((COALESCE(bc.c, 0) + 0.5) / (COALESCE(uc.c, 0) + 0.5 * {_T18_V})) AS lp "
+    f"FROM big b LEFT JOIN '{REPO_FIXTURES}/lm_bigrams.parquet' bc "
+    "ON b.w1 = bc.w1 AND b.w2 = bc.w2 "
+    f"LEFT JOIN '{REPO_FIXTURES}/lm_unigrams.parquet' uc ON b.w1 = uc.w) "
+    "SELECT doc_id, COUNT(*) AS n_bigrams, "
+    "ROUND(SUM(lp) / COUNT(*), 6) AS avg_logprob, "
+    "ROUND(EXP(-SUM(lp) / COUNT(*)), 6) AS ppl FROM sc GROUP BY doc_id",
+    "CCNet-style LM quality filter: per-doc perplexity under the frozen "
+    "bigram model (broadcast LM, JVM bigram transform, one partial-agg "
+    "shuffle) vs DuckDB scoring the identical fixture",
+)
+def t18(spark, sf):
+    from graphlab_spark.functions.lm import perplexity_frame
+
+    return perplexity_frame(
+        _t(spark, sf, "documents"),
+        f"{REPO_FIXTURES}/lm_unigrams.parquet",
+        f"{REPO_FIXTURES}/lm_bigrams.parquet",
+    )
+
+
 @q(
     "t07_winnowing_fp",
     TS.winnow_fp_sql(),
@@ -1073,6 +1109,7 @@ reorder_registry_last(
         "a09_count",
         "a10_max",
         "a11_group_count",
+        "a18_bulk_merge_semantics",
         "a12_avg",
         "a13_histogram",
         "a14_conditional_count",

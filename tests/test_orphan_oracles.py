@@ -55,6 +55,7 @@ def test_cap_split_is_intentional():
         "a10_max",
         "a11_group_count",
         "a12_avg",
+        "a18_bulk_merge_semantics",
         "a13_histogram",
         "a14_conditional_count",
         "a16_ci_distinct",

@@ -299,6 +299,18 @@ def main() -> None:
     ok_all &= check("t17 funnel no CartesianProduct", "CartesianProduct" not in p)
     ok_all &= check("t17 funnel partial-aggregated stage sums", "partial_count" in p)
 
+    # 13. t18 LM perplexity: the vocabulary-sized LM broadcasts, the
+    # bigram transform stays JVM-side, and the per-doc agg is the ONLY
+    # shuffle (partial-aggregated map-side)
+    p = plan_of(REGISTRY["t18_lm_perplexity"].fn(spark, sf_dir))
+    ok_all &= check("t18 LM count joins broadcast", p.count("BroadcastHashJoin") >= 2)
+    ok_all &= check("t18 no Python in the scoring path", "EvalPython" not in p)
+    ok_all &= check("t18 per-doc agg partial-aggregates map-side", "partial_count" in p)
+    n_shuffles = sum(1 for l in p.splitlines() if "hashpartitioning" in l)
+    ok_all &= check(
+        "t18 exactly one shuffle (the doc_id agg)", n_shuffles == 1, f"{n_shuffles} shuffles"
+    )
+
     print("\nAUDIT", "PASS" if ok_all else "HAS WARNINGS")
     sys.exit(0 if ok_all else 1)
 
