@@ -1,0 +1,120 @@
+"""SemDeDup: semantic deduplication over an embedding column.
+
+SemDeDup (Abbas et al., 2023) removes *semantic* duplicates — documents
+whose embeddings are nearly identical even when their text is not — by
+(1) clustering the embedding space with k-means, (2) comparing pairs
+ONLY within a cluster, and (3) keeping one representative per group of
+mutually-similar points. Clustering is what makes the quadratic step
+tractable: at corpus scale the all-pairs cosine join is impossible
+(10^22 pairs at 10^11 docs), but within-cell pairs are (N/K)² per cell,
+and K grows with the corpus (K ≈ √N keeps per-cell work flat). The
+cells are the shuffle key, so the pair join is cell-local.
+
+The centroids are trained OFFLINE (``fixtures/freeze_semdedup.py``,
+deterministic Lloyd iterations, seeded init) and committed — the LM /
+BPE fixture pattern — so both Spark and the DuckDB oracle score the
+identical model.
+
+Reference parity: the reference canonicalizes near-duplicate entities
+before graph writes (`backend/app/services/graph_entity.py` dedup on
+normalized names); this is the embedding-space analog over the corpus.
+
+Plan shape: centroid assignment is a BROADCAST cross join (K rows) +
+one partial-aggregated ``max_by`` per vec; within-cell pairs shuffle on
+``cell_id`` (the bounded key); keeper resolution reuses the
+size-adaptive :func:`~graphlab_spark.operators.canonicalize.connected_components`.
+No Python anywhere in the scoring path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphlab_spark.operators.ann import cosine_col
+
+CENTROIDS_FIXTURE = "fixtures/semdedup_centroids.parquet"
+
+
+def train_centroids(
+    vecs: np.ndarray, k: int = 8, n_iter: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Deterministic Lloyd k-means (float64, seeded k-means++-style
+    init, fixed iteration count) — the offline trainer behind
+    fixtures/freeze_semdedup.py. Empty clusters keep their previous
+    centroid so the output shape is always (k, dim)."""
+    x = np.asarray(vecs, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def assign_cells(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding) × (cell_id, centroid) → (vec_id, cell_id):
+    each vector goes to its max-cosine centroid, ties to the lowest
+    cell_id. Broadcast cross join (K rows) + partial-aggregated
+    ``max_by`` — one shuffle on vec_id carrying K scores per vec."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cell_id",
+        cosine_col(F.col("embedding"), F.col("centroid")).alias("cos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.expr("max_by(cell_id, struct(cos, -cell_id))").alias("cell_id")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    tau: float = 0.45,
+) -> DataFrame:
+    """SemDeDup retention map → (vec_id, cell_id, keeper): keeper is the
+    min vec_id of the vector's within-cell similarity component
+    (cosine ≥ ``tau``); vectors similar to nothing keep themselves.
+    Pairs crossing a cell boundary are NOT compared — that is the
+    SemDeDup contract, and what bounds the quadratic step."""
+    from graphlab_spark.operators.canonicalize import connected_components
+
+    asg = assign_cells(embeddings, centroids)
+    vec = embeddings.join(asg, "vec_id").select("vec_id", "cell_id", "embedding")
+    a = vec.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+    )
+    b = vec.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cosine_col(F.col("va"), F.col("vb")) >= tau)
+        .select("a", "b")
+    )
+    comp = connected_components(pairs)
+    return (
+        asg.join(
+            comp.select(
+                F.col("item_id").alias("vec_id"),
+                F.col("component_id").alias("keeper"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "cell_id",
+            F.coalesce(F.col("keeper"), F.col("vec_id")).alias("keeper"),
+        )
+    )

@@ -204,6 +204,43 @@ def d07(spark, sf):
 
 
 @q(
+    "d08_semantic_dedup",
+    # SemDeDup: frozen k-means centroids (fixture), max-cosine cell
+    # assignment (ties → lowest cell), within-cell pairs at cos ≥ 0.45,
+    # keeper = min vec_id of the similarity component (d07's recursive-
+    # closure pattern). Cross-cell pairs are NOT compared — that is the
+    # SemDeDup contract in both engines.
+    "WITH RECURSIVE "
+    f"c AS (SELECT cell_id, centroid FROM '{REPO_FIXTURES}/semdedup_centroids.parquet'), "
+    "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "asg AS (SELECT vec_id, cell_id FROM ("
+    " SELECT e.vec_id, c.cell_id, row_number() OVER (PARTITION BY e.vec_id "
+    "  ORDER BY list_cosine_similarity(e.v, c.centroid) DESC, c.cell_id ASC) AS rn "
+    " FROM emb e CROSS JOIN c) WHERE rn = 1), "
+    "p AS (SELECT x.vec_id AS a, y.vec_id AS b "
+    " FROM emb x JOIN asg ax ON x.vec_id = ax.vec_id "
+    " JOIN emb y ON x.vec_id < y.vec_id "
+    " JOIN asg ay ON y.vec_id = ay.vec_id AND ax.cell_id = ay.cell_id "
+    " WHERE list_cosine_similarity(x.v, y.v) >= 0.45), "
+    "und AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p), "
+    "reach(src, dst) AS (SELECT a AS src, b AS dst FROM und "
+    " UNION SELECT r.src, u.b AS dst FROM reach r JOIN und u ON r.dst = u.a), "
+    "comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS keeper "
+    " FROM reach GROUP BY src) "
+    "SELECT g.vec_id, g.cell_id, COALESCE(cp.keeper, g.vec_id) AS keeper "
+    "FROM asg g LEFT JOIN comp cp USING (vec_id)",
+    "SemDeDup semantic dedup: frozen k-means cells bound the quadratic "
+    "step (cell-local pair join), min-id keeper per within-cell "
+    "similarity component",
+)
+def d08(spark, sf):
+    from graphlab_spark.operators.semdedup import semantic_dedup
+
+    cent = spark.read.parquet(f"{REPO_FIXTURES}/semdedup_centroids.parquet")
+    return semantic_dedup(_t(spark, sf, "embeddings"), cent, tau=0.45)
+
+
+@q(
     "d06_embedding_near_dup",
     "SELECT a.vec_id AS a, b.vec_id AS b, "
     "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
@@ -1117,6 +1154,7 @@ reorder_registry_last(
         "a17_single_upsert",
         "a19_delete_not_found",
         "a20_set_diff",
+        "c13_dedup_latest_per_key",
         # rows-only by design (weaker record either way)
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",

@@ -62,6 +62,7 @@ def test_cap_split_is_intentional():
         "a17_single_upsert",
         "a19_delete_not_found",
         "a20_set_diff",
+        "c13_dedup_latest_per_key",
     }
     beyond = set(names[DRIVER_CAP:])
     assert {n for n in beyond if n in oracles} <= parked_oracled

@@ -311,6 +311,19 @@ def main() -> None:
         "t18 exactly one shuffle (the doc_id agg)", n_shuffles == 1, f"{n_shuffles} shuffles"
     )
 
+    # 14. d08 SemDeDup: the K-row centroid frame broadcasts (never a
+    # shuffled cartesian), and the pair join is keyed on cell_id
+    p = plan_of(REGISTRY["d08_semantic_dedup"].fn(spark, sf_dir))
+    ok_all &= check("d08 no CartesianProduct", "CartesianProduct" not in p)
+    ok_all &= check(
+        "d08 centroid cross join is broadcast", "BroadcastNestedLoopJoin" in p
+    )
+    ok_all &= check(
+        "d08 within-cell pair join keyed on cell_id",
+        "cell_id" in p and ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                            or "BroadcastHashJoin" in p),
+    )
+
     print("\nAUDIT", "PASS" if ok_all else "HAS WARNINGS")
     sys.exit(0 if ok_all else 1)
 
