@@ -123,6 +123,26 @@ def main() -> None:
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("ann_bruteforce", lambda: _count(ANN.brute_force_topk(embs, list(range(50)), k=10)))
     timed("ann_ivf", lambda: _count(ANN.ivf_topk(embs, list(range(50)), k=10)))
+
+    # --- r4 curation additions at full table scale
+    from graphlab_spark.functions.lm import perplexity_frame
+    from graphlab_spark.operators.curation import curation_funnel
+    from graphlab_spark.operators.semdedup import semantic_dedup
+
+    fixdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    timed(
+        "lm_perplexity",
+        lambda: _count(
+            perplexity_frame(
+                docs,
+                f"{fixdir}/lm_unigrams.parquet",
+                f"{fixdir}/lm_bigrams.parquet",
+            )
+        ),
+    )
+    timed("curation_funnel", lambda: _count(curation_funnel(docs)))
+    cent = spark.read.parquet(f"{fixdir}/semdedup_centroids.parquet")
+    timed("semantic_dedup", lambda: _count(semantic_dedup(embs, cent)))
     timed(
         "text_stats",
         lambda: _count(

@@ -20,10 +20,14 @@ before graph writes (`backend/app/services/graph_entity.py` dedup on
 normalized names); this is the embedding-space analog over the corpus.
 
 Plan shape: centroid assignment is a BROADCAST cross join (K rows) +
-one partial-aggregated ``max_by`` per vec; within-cell pairs shuffle on
-``cell_id`` (the bounded key); keeper resolution reuses the
-size-adaptive :func:`~graphlab_spark.operators.canonicalize.connected_components`.
-No Python anywhere in the scoring path.
+one partial-aggregated ``max_by`` per vec (pure JVM). Within-cell pair
+scoring ships each cell's vectors ONCE over Arrow (``applyInPandas``
+keyed on cell_id — shuffle volume O(N·d), never O(pairs·d)) and finds
+similar pairs with a row-blocked normalized GEMM — the same per-cluster
+matrix multiply the SemDeDup reference implementation uses, with block
+size bounding task memory at O(block × cell). Keeper resolution reuses
+the size-adaptive
+:func:`~graphlab_spark.operators.canonicalize.connected_components`.
 """
 
 from __future__ import annotations
@@ -72,6 +76,39 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _cell_pairs(tau: float, block: int = 2048):
+    """Per-cell similar-pair finder: normalized row-blocked GEMM.
+    Each Arrow batch is one cell's (vec_id, embedding) rows; peak task
+    memory is O(block × cell_size) floats, not cell_size², so a skewed
+    hot cell degrades gracefully instead of OOMing the executor."""
+    import pandas as pd
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        n = m / np.where(norms == 0.0, 1.0, norms)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s in range(0, len(ids), block):
+            sims = n[s : s + block] @ n.T
+            bi, bj = np.nonzero(sims >= tau)
+            gi = bi + s
+            keep = gi < bj  # strict upper triangle in row order
+            lo = np.minimum(ids[gi[keep]], ids[bj[keep]])
+            hi = np.maximum(ids[gi[keep]], ids[bj[keep]])
+            out_a.append(lo)
+            out_b.append(hi)
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+            }
+        )
+
+    return f
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -86,21 +123,8 @@ def semantic_dedup(
 
     asg = assign_cells(embeddings, centroids)
     vec = embeddings.join(asg, "vec_id").select("vec_id", "cell_id", "embedding")
-    a = vec.select(
-        F.col("cell_id"),
-        F.col("vec_id").alias("a"),
-        F.col("embedding").alias("va"),
-    )
-    b = vec.select(
-        F.col("cell_id"),
-        F.col("vec_id").alias("b"),
-        F.col("embedding").alias("vb"),
-    )
-    pairs = (
-        a.join(b, "cell_id")
-        .filter(F.col("a") < F.col("b"))
-        .filter(cosine_col(F.col("va"), F.col("vb")) >= tau)
-        .select("a", "b")
+    pairs = vec.groupBy("cell_id").applyInPandas(
+        _cell_pairs(tau), "a long, b long"
     )
     comp = connected_components(pairs)
     return (
