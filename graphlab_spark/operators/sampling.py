@@ -84,6 +84,7 @@ def pack_shards(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     count_col: str | None = None,
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training chunks.
 
@@ -92,6 +93,13 @@ def pack_shards(
     ``floor(cumulative_tokens_before_it / budget)``. A doc straddling a
     boundary is assigned to the chunk where it starts (standard greedy
     semantics: every chunk's token sum is < budget + its last doc).
+
+    ``shuffle_salt``: when set, docs are packed in DETERMINISTIC
+    PSEUDO-RANDOM order — md5(id || salt) — instead of id order, so a
+    chunk mixes documents from across the corpus (training-order
+    shuffling: consecutive id ranges are typically one crawl segment /
+    domain, and a model fed unmixed chunks sees correlated batches).
+    Same salt → identical packing on every run and engine.
 
     ``count_col``: name of a precomputed per-doc token-count column to
     budget on (e.g. exact BPE subword counts from
@@ -102,9 +110,14 @@ def pack_shards(
     cluster cores at 100 TB) — cumsum never runs as one global window.
     Output chunk ids are (bucket, chunk_id) pairs, deterministic.
     """
+    order = (
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(shuffle_salt)))
+        if shuffle_salt is not None
+        else F.col(id_col)
+    )
     w = (
         Window.partitionBy("bucket")
-        .orderBy(id_col)
+        .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     n_tokens = (

@@ -868,6 +868,28 @@ def t06(spark, sf):
     return SMP.pack_shards(_t(spark, sf, "documents"), budget_tokens=4096)
 
 
+@q(
+    "t19_shuffled_packing",
+    # training-order shuffle: identical greedy packing, but the within-
+    # bucket order is md5(doc_id || salt) — deterministic pseudo-random
+    # mixing so a chunk never holds one contiguous crawl range (t05's
+    # md5-threshold precedent proves Spark/DuckDB md5-hex parity)
+    "WITH t AS (SELECT doc_id, doc_id % 64 AS bucket, "
+    f"{TS.TOKEN_COUNT_SQL} AS n_tokens, "
+    "md5(CAST(doc_id AS VARCHAR) || 'mix42') AS ord FROM documents) "
+    "SELECT doc_id, bucket, "
+    "CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY ord "
+    "ROWS UNBOUNDED PRECEDING) - n_tokens) / 4096.0) AS BIGINT) AS chunk_id, "
+    "n_tokens FROM t",
+    "token-budget packing in deterministic shuffled training order "
+    "(md5-keyed within-bucket mixing; same parallel-window shape as t06)",
+)
+def t19(spark, sf):
+    return SMP.pack_shards(
+        _t(spark, sf, "documents"), budget_tokens=4096, shuffle_salt="mix42"
+    )
+
+
 # ----------------------------------------------------------- skew handling
 
 @q(
@@ -1155,6 +1177,7 @@ reorder_registry_last(
         "a19_delete_not_found",
         "a20_set_diff",
         "c13_dedup_latest_per_key",
+        "tpch_q1_pricing_summary",
         # rows-only by design (weaker record either way)
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",

@@ -78,6 +78,31 @@ def test_packing_deterministic(spark, docs):
     assert a == b
 
 
+def test_shuffled_packing_mixes_but_keeps_invariants(spark, docs):
+    budget = 50
+    out = SMP.pack_shards(
+        docs, budget_tokens=budget, n_buckets=8, shuffle_salt="mix42"
+    ).collect()
+    # same docs, same greedy bound — only the within-bucket ORDER changed
+    assert len(out) == 20_000
+    by_chunk: dict[tuple, list] = {}
+    for r in out:
+        by_chunk.setdefault((r.bucket, r.chunk_id), []).append(r)
+    for (_b, _cid), rows in by_chunk.items():
+        toks = sum(r.n_tokens for r in rows)
+        assert toks - max(r.n_tokens for r in rows) < budget
+    # mixing: chunk 0 of bucket 0 is NOT the lowest ids of that bucket
+    # (id-ordered packing would make it exactly that prefix)
+    b0c0 = sorted(r.doc_id for r in by_chunk[(0, 0)])
+    bucket0_ids = sorted(r.doc_id for r in out if r.bucket == 0)
+    assert b0c0 != bucket0_ids[: len(b0c0)]
+    # deterministic under the same salt
+    again = sorted(
+        map(tuple, SMP.pack_shards(docs, 50, 8, shuffle_salt="mix42").collect())
+    )
+    assert again == sorted(map(tuple, out))
+
+
 def test_domain_quota_caps_and_orders(spark):
     from pyspark.sql import functions as F
 
