@@ -196,6 +196,55 @@ def neighbor_jaccard(edges: DataFrame, min_common: int = 2) -> DataFrame:
     )
 
 
+def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """Community detection by DETERMINISTIC synchronous label
+    propagation over the undirected distinct adjacency (self-loops
+    excluded) → (id, community).
+
+    Init: every node is its own label. Each round, every node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties broken by the smallest label. Fixed ``n_iter`` + deterministic
+    tie-break make the result identical on every run AND fully
+    SQL-mirrorable (classic async LPA is neither — its visit order is
+    scheduler-dependent). Synchronous LPA can oscillate on bipartite
+    structures; a fixed iteration count is the standard guard.
+
+    Scale shape: per round, ONE join (adjacency ⋈ label vector — the
+    label frame is O(nodes), AQE broadcasts it while it fits) + one
+    partial-aggregated groupBy(node, label) + one ``min_by`` agg per
+    node; labels pinned to scratch per round (pagerank's loop
+    discipline) so lineage stays flat at any ``n_iter``.
+    """
+    import uuid
+
+    from graphlab_spark.operators.scratch import cleanup_prefix, materialize
+
+    tag = f"lpa_{uuid.uuid4().hex[:8]}"
+    und = undirected(edges).filter(F.col("src") != F.col("dst"))
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+    )
+    for i in range(n_iter):
+        counts = (
+            und.join(
+                labels.select(F.col("id").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy(F.col("src").alias("id"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = materialize(
+            counts.groupBy("id").agg(
+                F.expr("min_by(lbl, struct(-cnt, lbl))").alias("lbl")
+            ),
+            f"{tag}_it{i:04d}",
+        )
+        if i:
+            cleanup_prefix(f"{tag}_it{i - 1:04d}")
+    return labels.select("id", F.col("lbl").alias("community"))
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

@@ -1093,6 +1093,37 @@ def kg_jaccard(spark, sf):
     return neighbor_jaccard(_kg_pipeline(spark)["edges"], min_common=2)
 
 
+_LPA_ROUND = (
+    "c{n} AS (SELECT a.src AS id, l{p}.lbl, COUNT(*) AS cnt "
+    " FROM a JOIN l{p} ON a.dst = l{p}.id GROUP BY 1, 2), "
+    "l{n} AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER "
+    " (PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS rn FROM c{n}) "
+    " WHERE rn = 1)"
+)
+
+
+@q(
+    "kg_label_propagation",
+    # 3 synchronous rounds unrolled — deterministic tie-break (max
+    # count, then min label) makes LPA exactly SQL-mirrorable; classic
+    # async LPA is scheduler-dependent and could never be oracled
+    _GOLDEN_UND + ", "
+    "a AS (SELECT src, dst FROM u WHERE src <> dst), "
+    "l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM a), "
+    + _LPA_ROUND.format(n=1, p=0) + ", "
+    + _LPA_ROUND.format(n=2, p=1) + ", "
+    + _LPA_ROUND.format(n=3, p=2) + " "
+    "SELECT id, lbl AS community FROM l3",
+    "graph analytics: community detection by deterministic synchronous "
+    "label propagation (3 rounds, max-count/min-label rule) over the "
+    "live canonical edges vs the frozen golden adjacency",
+)
+def kg_lpa(spark, sf):
+    from graphlab_spark.operators.graph_query import label_propagation
+
+    return label_propagation(_kg_pipeline(spark)["edges"], n_iter=3)
+
+
 @q(
     "kg_pagerank_top",
     None,  # iterative float algorithm: rows-only here; the semantic gate
@@ -1178,6 +1209,7 @@ reorder_registry_last(
         "a20_set_diff",
         "c13_dedup_latest_per_key",
         "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
         # rows-only by design (weaker record either way)
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",

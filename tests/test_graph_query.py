@@ -177,3 +177,44 @@ def test_neighbor_jaccard_hand_graph(spark):
     got = {(r.a, r.b): (r.common, r.jaccard)
            for r in neighbor_jaccard(e, min_common=2).collect()}
     assert got == {("1", "3"): (2, 0.5), ("2", "4"): (2, 1.0)}
+
+
+def _lpa_reference(pairs, n_iter=3):
+    """Pure-python synchronous LPA with the same max-count/min-label rule."""
+    adj: dict = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    lbl = {v: v for v in adj}
+    for _ in range(n_iter):
+        new = {}
+        for v, nbrs in adj.items():
+            counts: dict = {}
+            for u in nbrs:
+                counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+            new[v] = min(counts, key=lambda k: (-counts[k], k))
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_matches_reference(spark):
+    from graphlab_spark.operators.graph_query import label_propagation
+
+    # two dense clusters joined by one bridge edge + a self-loop
+    pairs = [
+        ("a1", "a2"), ("a2", "a3"), ("a1", "a3"), ("a3", "a4"), ("a1", "a4"),
+        ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("b3", "b4"), ("b2", "b4"),
+        ("a4", "b1"),  # bridge
+        ("c1", "c1"),  # self-loop only: excluded entirely
+    ]
+    e = spark.createDataFrame(
+        [(s, "p", d) for s, d in pairs], "src string, pred string, dst string"
+    )
+    got = {r.id: r.community for r in label_propagation(e, n_iter=3).collect()}
+    assert got == _lpa_reference(pairs, 3)
+    assert "c1" not in got
+    # the two clusters end in different communities
+    assert len({got[v] for v in ["a1", "a2", "a3"]}) == 1
+    assert got["a1"] != got["b2"]
