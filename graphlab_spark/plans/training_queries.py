@@ -1093,6 +1093,29 @@ def kg_jaccard(spark, sf):
     return neighbor_jaccard(_kg_pipeline(spark)["edges"], min_common=2)
 
 
+@q(
+    "kg_connected_components",
+    # C9 directly gated: components over the live canonical edges vs a
+    # recursive transitive closure of the frozen golden adjacency
+    # (component id = min node id, the operator's contract)
+    _GOLDEN_UND.replace("WITH ", "WITH RECURSIVE ", 1) + ", "
+    "reach(src, dst) AS (SELECT src, dst FROM u "
+    " UNION SELECT r.src, u2.dst FROM reach r JOIN u u2 ON r.dst = u2.src) "
+    "SELECT src AS id, LEAST(src, MIN(dst)) AS component_id "
+    "FROM reach GROUP BY src",
+    "graph analytics: connected components (size-adaptive min-label "
+    "propagation / driver union-find) over the live canonical edges vs "
+    "the frozen golden adjacency",
+)
+def kg_cc(spark, sf):
+    from graphlab_spark.operators.canonicalize import connected_components
+
+    e = _kg_pipeline(spark)["edges"]
+    return connected_components(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ).select(F.col("item_id").alias("id"), "component_id")
+
+
 _LPA_ROUND = (
     "c{n} AS (SELECT a.src AS id, l{p}.lbl, COUNT(*) AS cnt "
     " FROM a JOIN l{p} ON a.dst = l{p}.id GROUP BY 1, 2), "
@@ -1210,6 +1233,7 @@ reorder_registry_last(
         "c13_dedup_latest_per_key",
         "tpch_q1_pricing_summary",
         "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
         # rows-only by design (weaker record either way)
         "d04_minhash_lsh_pairs",
         "d05_simhash_pairs",

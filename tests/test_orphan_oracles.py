@@ -65,6 +65,7 @@ def test_cap_split_is_intentional():
         "c13_dedup_latest_per_key",
         "tpch_q1_pricing_summary",
         "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
     }
     beyond = set(names[DRIVER_CAP:])
     assert {n for n in beyond if n in oracles} <= parked_oracled
