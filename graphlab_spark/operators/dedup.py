@@ -478,3 +478,81 @@ def line_dedup(
             F.sum((~F.col("_drop")).cast("long")).alias("n_kept"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans, Lee-et-al.-style ("Deduplicating
+    Training Data Makes Language Models Better", which removes any
+    ≥50-token substring occurring twice in the corpus — the suffix-array
+    step reformulated as DataFrame algebra): every maximal token span
+    covered by a ``k``-token window whose text occurs MORE THAN ONCE in
+    the corpus (across docs or repeated within one) →
+    (doc_id, span_start, span_end, span_tokens), token positions
+    0-based, end exclusive.
+
+    Plan (all JVM, no Python in the row path):
+    1. per doc, emit (pos, k-gram) via ``transform(sequence(...))`` +
+       ``slice``/``array_join`` and explode — O(tokens) rows;
+    2. duplicated grams = groupBy(gram) HAVING count > 1 — the one big
+       shuffle; map-side partial agg collapses each partition's repeats
+       before the exchange. At 100 TB, shuffle ``xxhash64(gram)`` (16
+       bytes/row) instead of gram text — a 64-bit collision marking a
+       unique span duplicated is noise at Lee et al.'s own error bar
+       (they hash, too). The oracled form here shuffles the text itself
+       so the DuckDB mirror is exact;
+    3. left-semi back to positions, then merge overlapping/adjacent
+       windows per doc into maximal spans with the classic
+       gaps-and-islands running ``max(pos + k)`` window — keyed by doc,
+       partial state O(1) per row.
+
+    A span's tokens can then be cut from the doc (the paper's policy)
+    or the doc dropped above a duplication ratio — both downstream
+    one-liners on this frame.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    pos_grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.array_join(F.slice(toks, i + 1, k), " ").alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,gram:string>>"))
+    g = (
+        docs.select(F.col(id_col), F.explode(pos_grams).alias("pg"))
+        .select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gram")
+    )
+    p = g.join(dup, "gram", "left_semi").select(id_col, "pos")
+    w_all = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w_all.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = p.withColumn(
+        "island",
+        F.sum(
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+        ).over(w_all.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).alias("span_tokens"),
+        )
+        .select(id_col, "span_start", "span_end", "span_tokens")
+    )

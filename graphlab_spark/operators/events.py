@@ -134,6 +134,84 @@ def sessionize(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join: each left row gains the columns of the
+    LATEST right row with ``right.ts <= left.ts`` for the same ``key``
+    (left join — unmatched left rows keep NULLs). The matched right
+    timestamp lands in ``{prefix}{ts}``; every other right column in
+    ``{prefix}{col}``.
+
+    The classic point-in-time primitive (feature lookup as-of an event,
+    last-touch attribution, slowly-changing-dimension reads) that Spark
+    has no built-in operator for. A naive range join explodes to
+    O(left × right-per-key) then filters; this plan instead UNIONS the
+    two sides tagged, sorts each key's timeline ONCE, and carries the
+    most recent right values forward with ``last(ignorenulls)`` over a
+    running window — one shuffle on ``key``, O(n log n) per key, no
+    pair blow-up. Equal timestamps match (right sorts before left at
+    ties, making the join inclusive).
+
+    Determinism contract: right must be unique per (key, ts) — dedup
+    upstream (e.g. ``max_by`` per key+ts) or ties are resolved
+    arbitrarily. At web scale a hot key serializes into one task's
+    sort; as-of state is carried by time order, so shard hot keys into
+    time buckets (process buckets independently, seeding each bucket
+    with the previous bucket's last right row) — the same time-sliced
+    recipe Structured Streaming's state store uses.
+    """
+    rpayload = [c for c in right.columns if c not in (key, ts)]
+    lpayload = [c for c in left.columns if c not in (key, ts)]
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    l2 = left.select(
+        F.col(key),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lpayload],
+        *[
+            F.lit(None).cast(rtypes[c]).alias(prefix + c)
+            for c in [ts] + rpayload
+        ],
+    )
+    r2 = right.select(
+        F.col(key),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lpayload],
+        F.col(ts).alias(prefix + ts),
+        *[F.col(c).alias(prefix + c) for c in rpayload],
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l2.unionByName(r2).select(
+        F.col(key),
+        F.col("_ts"),
+        "_side",
+        *[F.col(c) for c in lpayload],
+        *[
+            F.last(prefix + c, ignorenulls=True).over(w).alias(prefix + c)
+            for c in [ts] + rpayload
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        F.col(key),
+        F.col("_ts").alias(ts),
+        *[F.col(c) for c in lpayload],
+        *[F.col(prefix + c) for c in [ts] + rpayload],
+    )
+
+
 def props_stats(events: DataFrame, json_path: str = "$.k") -> DataFrame:
     """Typed extraction from the JSON ``props`` column → per-type stats.
 

@@ -61,6 +61,48 @@ def k_hop_neighbors(edges: DataFrame, seed: str, k: int = 2) -> DataFrame:
     return visited.filter(F.col("hop") > 0).select("id", "hop")
 
 
+def bfs_distances(edges: DataFrame, seed: str, max_hops: int = 6) -> DataFrame:
+    """Single-source shortest-path distances (unweighted BFS) from
+    ``seed`` over the undirected distinct adjacency → (id, dist) for
+    every node within ``max_hops``, seed included at dist 0.
+
+    Same frontier loop as :func:`k_hop_neighbors` (dist = first hop
+    reached ≡ min distance; each hop is one join on the frontier +
+    anti-join against visited, frontier pinned to scratch so lineage
+    stays flat), but run to ``max_hops`` with early stop when the
+    frontier drains. The explicit bound keeps the operator total on any
+    graph AND makes it SQL-mirrorable: the oracle is a depth-bounded
+    recursive CTE taking MIN(dist) per node.
+
+    At 10^12 edges: the frontier is reachable-subgraph-sized, not
+    corpus-sized — AQE broadcasts it against the src-bucketed edge
+    table every hop, so a BFS touches only the component it explores.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    adj = undirected(edges)
+    visited = adj.sparkSession.createDataFrame(
+        [(seed, 0)], "id string, dist int"
+    )
+    frontier = visited.select("id")
+    from graphlab_spark.operators.scratch import materialize
+
+    for hop in range(1, max_hops + 1):
+        nxt = materialize(
+            adj.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(hop)),
+            f"bfs_{hop}",
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("id")
+    return visited
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """Per-node degree centrality over DISTINCT canonical edges:
     (id, out_deg, in_deg, deg) where deg counts distinct undirected

@@ -90,3 +90,50 @@ def e05(spark, sf):
 )
 def e03(spark, sf):
     return EV.props_stats(_t(spark, sf, "events"))
+
+
+@q(
+    "e06_asof_join_last_purchase",
+    # DuckDB's native ASOF JOIN is the oracle for the union+running-
+    # window plan (operators/events.py asof_join). Right side deduped
+    # to one row per (user_id, ts) on both sides (determinism contract).
+    "WITH rt AS ("
+    "  SELECT user_id, ts, MAX(event_id) AS r_event_id,"
+    "         MAX_BY(value, event_id) AS r_value"
+    "  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+    "SELECT l.event_id, l.user_id,"
+    " strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,"
+    " strftime(rt.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,"
+    " rt.r_event_id AS purchase_event_id,"
+    " ROUND(rt.r_value, 2) AS purchase_value "
+    "FROM (SELECT event_id, user_id, ts FROM events"
+    "      WHERE event_type = 'error') l "
+    "ASOF LEFT JOIN rt ON l.user_id = rt.user_id AND rt.ts <= l.ts",
+    "backward as-of join: each error event annotated with the user's "
+    "most recent prior-or-equal purchase (point-in-time attribution; "
+    "single-shuffle union+running-window plan, no range-join blow-up)",
+)
+def e06(spark, sf):
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.expr("max_by(value, event_id)").alias("value"),
+        )
+    )
+    j = EV.asof_join(left, right, key="user_id", ts="ts", prefix="p_")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", EV.TS_FMT).alias("ts_str"),
+        F.date_format("p_ts", EV.TS_FMT).alias("purchase_ts"),
+        F.col("p_event_id").alias("purchase_event_id"),
+        F.round("p_value", 2).alias("purchase_value"),
+    )

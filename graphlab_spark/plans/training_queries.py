@@ -719,6 +719,39 @@ def t15(spark, sf):
     return TS.doc_dup_line_stats(docs)
 
 
+@q(
+    "t20_duplicate_substring_spans",
+    # Lee-et-al.-style exact duplicated-substring spans: maximal token
+    # ranges covered by an 8-token window occurring >1× in the corpus.
+    # Same tokenization (single-space split), same gaps-and-islands
+    # merge on both sides.
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+    " FROM documents), "
+    "g AS (SELECT doc_id, UNNEST(generate_series(0, len(t) - 8)) AS pos,"
+    " t FROM toks), "
+    "g2 AS (SELECT doc_id, pos, array_to_string(t[pos+1:pos+8], ' ') "
+    " AS gram FROM g), "
+    "dupg AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(*) > 1), "
+    "p AS (SELECT doc_id, pos FROM g2 WHERE gram IN "
+    " (SELECT gram FROM dupg)), "
+    "w AS (SELECT doc_id, pos, MAX(pos + 8) OVER (PARTITION BY doc_id "
+    " ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+    " AS prev_end FROM p), "
+    "isl AS (SELECT doc_id, pos, SUM(CASE WHEN prev_end IS NULL OR "
+    " pos > prev_end THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id "
+    " ORDER BY pos) AS island FROM w) "
+    "SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end, "
+    "MAX(pos) + 8 - MIN(pos) AS span_tokens "
+    "FROM isl GROUP BY doc_id, island",
+    "exact duplicated-substring spans (Lee et al. suffix-array dedup "
+    "reformulated as k-gram position algebra): one partial-aggregated "
+    "gram shuffle + per-doc islands merge; xxhash64(gram) is the "
+    "documented 100-TB shuffle-width path",
+)
+def t20(spark, sf):
+    return DD.duplicate_spans(_t(spark, sf, "documents"), k=8)
+
+
 _T16_SRC_SQL = (
     "(SELECT doc_id, text "
     "|| CASE WHEN doc_id % 5 = 1 THEN ' ### ## #' ELSE '' END "
@@ -1116,6 +1149,28 @@ def kg_cc(spark, sf):
     ).select(F.col("item_id").alias("id"), "component_id")
 
 
+@q(
+    "kg_sssp_bfs",
+    # depth-bounded BFS: min distance per node within 6 hops; the
+    # UNION-distinct recursion dedups (id, dist) pairs, and dist is
+    # monotone-bounded, so the CTE terminates on any cyclic graph
+    _GOLDEN_UND.replace("WITH ", "WITH RECURSIVE ", 1) + ", "
+    "bfs(id, dist) AS (SELECT 'org:acme-systems', 0 "
+    " UNION SELECT u.dst, bfs.dist + 1 FROM bfs JOIN u ON u.src = bfs.id "
+    " WHERE bfs.dist < 6) "
+    "SELECT id, MIN(dist) AS dist FROM bfs GROUP BY 1",
+    "graph analytics: single-source shortest-path distances (unweighted "
+    "BFS, depth-bounded) from a seed entity over the live canonical "
+    "edges vs a recursive-CTE closure of the frozen golden adjacency",
+)
+def kg_sssp(spark, sf):
+    from graphlab_spark.operators.graph_query import bfs_distances
+
+    return bfs_distances(
+        _kg_pipeline(spark)["edges"], "org:acme-systems", max_hops=6
+    )
+
+
 _LPA_ROUND = (
     "c{n} AS (SELECT a.src AS id, l{p}.lbl, COUNT(*) AS cnt "
     " FROM a JOIN l{p} ON a.dst = l{p}.id GROUP BY 1, 2), "
@@ -1212,6 +1267,9 @@ from graphlab_spark.plans.relational import reorder_registry_last  # noqa: E402
 reorder_registry_last(
     [
         # oracled, rotated out this round (recorded PASS in r1+r2+r3)
+        "e01_windowed_event_counts",
+        "e02_user_sessions",
+        "e03_props_json_stats",
         "a01_filter_eq",
         "a02_filter_null_tombstone",
         "a04_disjunction",

@@ -218,3 +218,32 @@ def test_label_propagation_matches_reference(spark):
     # the two clusters end in different communities
     assert len({got[v] for v in ["a1", "a2", "a3"]}) == 1
     assert got["a1"] != got["b2"]
+
+
+def test_bfs_distances_hand_graph(spark):
+    from graphlab_spark.operators.graph_query import bfs_distances
+
+    # line graph a-b-c-d plus disconnected x-y
+    e = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"), ("x", "r", "y")],
+        "src string, pred string, dst string",
+    )
+    got = {(r.id, r.dist) for r in bfs_distances(e, "a", max_hops=6).collect()}
+    assert got == {("a", 0), ("b", 1), ("c", 2), ("d", 3)}
+    # bound respected: max_hops=2 truncates d
+    got2 = {(r.id, r.dist) for r in bfs_distances(e, "a", max_hops=2).collect()}
+    assert got2 == {("a", 0), ("b", 1), ("c", 2)}
+    # undirected: reverse direction reachable
+    got3 = {(r.id, r.dist) for r in bfs_distances(e, "d", max_hops=6).collect()}
+    assert got3 == {("d", 0), ("c", 1), ("b", 2), ("a", 3)}
+
+
+def test_bfs_distances_cycle_terminates(spark):
+    from graphlab_spark.operators.graph_query import bfs_distances
+
+    e = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a")],
+        "src string, pred string, dst string",
+    )
+    got = {(r.id, r.dist) for r in bfs_distances(e, "a", max_hops=6).collect()}
+    assert got == {("a", 0), ("b", 1), ("c", 1)}

@@ -324,6 +324,25 @@ def main() -> None:
                             or "BroadcastHashJoin" in p),
     )
 
+    # 15. e06 as-of join: union+running-window plan — ONE shuffle on the
+    # key, never a range-join pair blow-up (no cartesian, no theta join)
+    p = plan_of(REGISTRY["e06_asof_join_last_purchase"].fn(spark, sf_dir))
+    ok_all &= check("e06 asof no CartesianProduct", "CartesianProduct" not in p)
+    ok_all &= check("e06 asof no BroadcastNestedLoopJoin", "BroadcastNestedLoopJoin" not in p)
+    ok_all &= check(
+        "e06 asof single window sort keyed on user_id",
+        "hashpartitioning(user_id" in p and "Window" in p,
+    )
+    ok_all &= check("e06 asof no Python in the row path", "EvalPython" not in p)
+
+    # 16. t20 duplicate spans: gram agg partial-aggregates map-side; the
+    # position join back is left-semi; islands window keyed per doc
+    p = plan_of(REGISTRY["t20_duplicate_substring_spans"].fn(spark, sf_dir))
+    ok_all &= check("t20 gram count partial-aggregates map-side", "partial_count" in p)
+    ok_all &= check("t20 positions join is LeftSemi", "LeftSemi" in p)
+    ok_all &= check("t20 no Python in the row path", "EvalPython" not in p)
+    ok_all &= check("t20 no CartesianProduct", "CartesianProduct" not in p)
+
     print("\nAUDIT", "PASS" if ok_all else "HAS WARNINGS")
     sys.exit(0 if ok_all else 1)
 
