@@ -143,6 +143,15 @@ def main() -> None:
     timed("curation_funnel", lambda: _count(curation_funnel(docs)))
     cent = spark.read.parquet(f"{fixdir}/semdedup_centroids.parquet")
     timed("semantic_dedup", lambda: _count(semantic_dedup(embs, cent)))
+    # Lee-et-al duplicated-substring spans: the corpus-wide k-gram
+    # shuffle is the dominant cost — same planted frame as the dedup
+    # lines so the numbers share an input
+    timed("dup_spans", lambda: _count(DD.duplicate_spans(planted, k=8)))
+    # as-of join over the events table (union + running-window plan)
+    timed(
+        "asof_join",
+        lambda: _count(REGISTRY["e06_asof_join_last_purchase"].fn(spark, sf_dir)),
+    )
     timed(
         "text_stats",
         lambda: _count(
