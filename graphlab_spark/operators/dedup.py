@@ -556,3 +556,46 @@ def duplicate_spans(
         )
         .select(id_col, "span_start", "span_end", "span_tokens")
     )
+
+
+def cut_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply Lee et al.'s REMOVAL policy to :func:`duplicate_spans`:
+    cut every duplicated span's tokens out of each doc →
+    (doc_id, clean_text, n_tokens_kept, n_tokens_removed). Docs with no
+    spans pass through untouched; a doc fully covered by spans keeps an
+    empty string (the caller drops or quarantines empties).
+
+    Plan: spans collapse to one array<struct> row per affected doc
+    (collect_list after duplicate_spans' per-doc agg — bounded by
+    tokens/k per doc, never corpus-sized), left-join back on the doc
+    key, then a nested higher-order filter drops token positions inside
+    any span — all JVM, no Python, no extra corpus shuffle beyond the
+    doc-keyed span join.
+    """
+    spans = duplicate_spans(docs, k, id_col, text_col)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
+    )
+    empty = F.array().cast("array<struct<span_start:long,span_end:long>>")
+    j = docs.join(sp, id_col, "left").withColumn(
+        "_sp", F.coalesce(F.col("_sp"), empty)
+    )
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            "_sp",
+            lambda r: (i >= r["span_start"]) & (i < r["span_end"]),
+        ),
+    )
+    return j.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

@@ -719,12 +719,12 @@ def t15(spark, sf):
     return TS.doc_dup_line_stats(docs)
 
 
-@q(
-    "t20_duplicate_substring_spans",
-    # Lee-et-al.-style exact duplicated-substring spans: maximal token
-    # ranges covered by an 8-token window occurring >1× in the corpus.
-    # Same tokenization (single-space split), same gaps-and-islands
-    # merge on both sides.
+# Lee-et-al.-style exact duplicated-substring spans: maximal token
+# ranges covered by an 8-token window occurring >1× in the corpus.
+# Same tokenization (single-space split), same gaps-and-islands merge
+# as operators/dedup.py duplicate_spans. Shared by t20 (report spans)
+# and t21 (cut them out, the paper's removal policy).
+_T20_SPANS_CTE = (
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
     " FROM documents), "
     "g AS (SELECT doc_id, UNNEST(generate_series(0, len(t) - 8)) AS pos,"
@@ -739,10 +739,16 @@ def t15(spark, sf):
     " AS prev_end FROM p), "
     "isl AS (SELECT doc_id, pos, SUM(CASE WHEN prev_end IS NULL OR "
     " pos > prev_end THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id "
-    " ORDER BY pos) AS island FROM w) "
-    "SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end, "
-    "MAX(pos) + 8 - MIN(pos) AS span_tokens "
-    "FROM isl GROUP BY doc_id, island",
+    " ORDER BY pos) AS island FROM w), "
+    "spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e "
+    " FROM isl GROUP BY doc_id, island)"
+)
+
+
+@q(
+    "t20_duplicate_substring_spans",
+    _T20_SPANS_CTE + " SELECT doc_id, s AS span_start, e AS span_end, "
+    "e - s AS span_tokens FROM spans",
     "exact duplicated-substring spans (Lee et al. suffix-array dedup "
     "reformulated as k-gram position algebra): one partial-aggregated "
     "gram shuffle + per-doc islands merge; xxhash64(gram) is the "
@@ -750,6 +756,29 @@ def t15(spark, sf):
 )
 def t20(spark, sf):
     return DD.duplicate_spans(_t(spark, sf, "documents"), k=8)
+
+
+@q(
+    "t21_cut_duplicate_spans",
+    # removal policy over the same spans: a nested lambda filter drops
+    # token positions inside any span. DuckDB lambda index i is
+    # 1-based (Spark's is 0-based → i-1 here); array_to_string of an
+    # empty kept-list is NULL in DuckDB → COALESCE to ''.
+    _T20_SPANS_CTE + ", "
+    "spl AS (SELECT doc_id, LIST(struct_pack(s := s, e := e)) AS sp "
+    " FROM spans GROUP BY doc_id), "
+    "kept AS (SELECT tk.doc_id, tk.t, list_filter(tk.t, (x, i) -> "
+    " COALESCE(len(list_filter(spl.sp, r -> (i-1) >= r.s AND (i-1) < r.e)), 0) = 0"
+    " ) AS kp FROM toks tk LEFT JOIN spl ON tk.doc_id = spl.doc_id) "
+    "SELECT doc_id, COALESCE(array_to_string(kp, ' '), '') AS clean_text, "
+    "len(kp) AS n_tokens_kept, len(t) - len(kp) AS n_tokens_removed "
+    "FROM kept",
+    "Lee et al. removal policy applied: duplicated spans cut from every "
+    "doc (nested higher-order token filter, all JVM; only the doc-keyed "
+    "span join added on top of t20)",
+)
+def t21(spark, sf):
+    return DD.cut_duplicate_spans(_t(spark, sf, "documents"), k=8)
 
 
 _T16_SRC_SQL = (

@@ -68,3 +68,42 @@ def test_short_docs_and_empty(spark):
     )
     # 7 tokens < k=8 → no k-grams at all, even though docs 1 and 2 match
     assert duplicate_spans(docs, k=8).count() == 0
+
+
+def test_cut_spans_hand_computed(spark):
+    from graphlab_spark.operators.dedup import cut_duplicate_spans
+
+    shared = _words("s", 10)
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + _words("a", 20)),
+            (2, _words("b", 5) + " " + shared + " " + _words("c", 7)),
+            (3, _words("u", 30)),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r for r in cut_duplicate_spans(docs, k=8).collect()
+    }
+    # doc 1: span [0,10) removed → the 20 a-words remain
+    assert got[1].clean_text == _words("a", 20)
+    assert (got[1].n_tokens_kept, got[1].n_tokens_removed) == (20, 10)
+    # doc 2: span [5,15) removed → b-words + c-words remain
+    assert got[2].clean_text == _words("b", 5) + " " + _words("c", 7)
+    assert (got[2].n_tokens_kept, got[2].n_tokens_removed) == (12, 10)
+    # doc 3 untouched
+    assert got[3].clean_text == _words("u", 30)
+    assert got[3].n_tokens_removed == 0
+
+
+def test_cut_spans_fully_covered_doc_empties(spark):
+    from graphlab_spark.operators.dedup import cut_duplicate_spans
+
+    body = _words("z", 12)
+    docs = spark.createDataFrame(
+        [(1, body), (2, body)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in cut_duplicate_spans(docs, k=8).collect()}
+    for d in (1, 2):
+        assert got[d].clean_text == ""
+        assert (got[d].n_tokens_kept, got[d].n_tokens_removed) == (0, 12)

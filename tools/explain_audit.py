@@ -343,6 +343,12 @@ def main() -> None:
     ok_all &= check("t20 no Python in the row path", "EvalPython" not in p)
     ok_all &= check("t20 no CartesianProduct", "CartesianProduct" not in p)
 
+    # 17. t21 span cutting: the nested higher-order token filter stays
+    # JVM; only the doc-keyed span join is added on top of t20
+    p = plan_of(REGISTRY["t21_cut_duplicate_spans"].fn(spark, sf_dir))
+    ok_all &= check("t21 no Python in the row path", "EvalPython" not in p)
+    ok_all &= check("t21 no CartesianProduct", "CartesianProduct" not in p)
+
     print("\nAUDIT", "PASS" if ok_all else "HAS WARNINGS")
     sys.exit(0 if ok_all else 1)
 
