@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from graphlab_spark.functions import normalize as NORM
 from graphlab_spark.functions import textstats as TS
 from graphlab_spark.operators import ann as ANN
 from graphlab_spark.operators import dedup as DD
@@ -779,6 +780,40 @@ def t20(spark, sf):
 )
 def t21(spark, sf):
     return DD.cut_duplicate_spans(_t(spark, sf, "documents"), k=8)
+
+
+# testdata text is pure ASCII (NFC/control-strip would be a no-op), so
+# BOTH engines append the same raw suffix to every 7th doc: a
+# decomposed e+U+0301 (NFC must compose it), doubled spaces, a tab, and
+# a BEL control byte. The suffix literal is shared via this constant —
+# the t16 source-injection pattern.
+_T22_INJ = " café  over\tdue \x07bell"
+_T22_SRC_SQL = (
+    "(SELECT doc_id, text || CASE WHEN doc_id % 7 = 2 THEN '"
+    + _T22_INJ
+    + "' ELSE '' END AS text FROM documents)"
+)
+
+
+@q(
+    "t22_normalize_text",
+    NORM.normalize_sql(_T22_SRC_SQL),
+    "Unicode normalization before dedup/tokenization (CCNet-style): NFC "
+    "composition (the one Arrow-batched Python step), explicit-range "
+    "control stripping, horizontal-whitespace collapse — byte-variants "
+    "of the same text then fingerprint identically",
+)
+def t22(spark, sf):
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 2, F.lit(_T22_INJ)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return NORM.normalize_text_frame(docs)
 
 
 _T16_SRC_SQL = (

@@ -349,6 +349,15 @@ def main() -> None:
     ok_all &= check("t21 no Python in the row path", "EvalPython" not in p)
     ok_all &= check("t21 no CartesianProduct", "CartesianProduct" not in p)
 
+    # 18. t22 normalization: exactly ONE Arrow-batched Python step (the
+    # NFC UDF); regex/trim stay JVM; narrow projection → zero Exchange
+    p = plan_of(REGISTRY["t22_normalize_text"].fn(spark, sf_dir))
+    # count tree lines "ArrowEvalPython (n)" — the formatted plan also
+    # repeats the node name in its detail section
+    ok_all &= check("t22 nfc single ArrowEvalPython", p.count("ArrowEvalPython (") == 1)
+    ok_all &= check("t22 no row-at-a-time Python", "BatchEvalPython" not in p)
+    ok_all &= check("t22 zero Exchange", "Exchange" not in p)
+
     print("\nAUDIT", "PASS" if ok_all else "HAS WARNINGS")
     sys.exit(0 if ok_all else 1)
 
