@@ -174,3 +174,43 @@ def domain_quota(
             "rank",
         )
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain mixture weights (the multilingual-BERT /
+    Pile / DoReMi reweighting rule): per domain d with token mass w_d,
+    the mixture weight is p_d = w_d^alpha / sum_e(w_e^alpha).
+    alpha=1 reproduces the raw corpus mix; alpha=0 is uniform over
+    domains; 0<alpha<1 upsamples the tail. → (domain, n_docs, n_tokens,
+    raw_share, mix_weight, boost) where boost = mix_weight / raw_share
+    is the per-domain sampling factor to feed stratified_sample /
+    domain_quota when drawing the training mixture.
+
+    Plan: ONE partial-aggregated groupBy(domain) shuffle over the
+    corpus; the unpartitioned normalization window then runs on the
+    AGGREGATED frame, whose row count is the number of domains — a
+    single tiny task by design, never a corpus-sized global window.
+    """
+    ag = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    powc = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    raw = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    mix = powc / F.sum(powc).over(w)
+    return ag.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(raw, 6).alias("raw_share"),
+        F.round(mix, 6).alias("mix_weight"),
+        F.round(mix / raw, 6).alias("boost"),
+    )

@@ -816,6 +816,30 @@ def t22(spark, sf):
     return NORM.normalize_text_frame(docs)
 
 
+@q(
+    "t23_temperature_mixture",
+    # alpha=0.5 temperature reweighting per domain; both engines divide
+    # the same bigint token masses, ROUND(..,6) absorbs float ulps
+    # CAST: DuckDB SUM(int) yields HUGEINT (float in pandas) vs Spark's
+    # bigint — same values, different hash formatting
+    "WITH ag AS (SELECT source AS domain, COUNT(*) AS n_docs, "
+    f" CAST(SUM({TS.TOKEN_COUNT_SQL}) AS BIGINT) AS n_tokens "
+    " FROM documents GROUP BY 1) "
+    "SELECT domain, n_docs, n_tokens, "
+    "ROUND(n_tokens / SUM(n_tokens) OVER (), 6) AS raw_share, "
+    "ROUND(pow(n_tokens, 0.5) / SUM(pow(n_tokens, 0.5)) OVER (), 6) "
+    " AS mix_weight, "
+    "ROUND((pow(n_tokens, 0.5) / SUM(pow(n_tokens, 0.5)) OVER ()) / "
+    " (n_tokens / SUM(n_tokens) OVER ()), 6) AS boost "
+    "FROM ag",
+    "temperature-scaled domain mixture weights (Pile/DoReMi rule "
+    "p_d = w_d^alpha / sum w^alpha): one partial-agg domain shuffle; "
+    "the normalization window runs on the domains-sized frame only",
+)
+def t23(spark, sf):
+    return SMP.temperature_mixture(_t(spark, sf, "documents"), alpha=0.5)
+
+
 _T16_SRC_SQL = (
     "(SELECT doc_id, text "
     "|| CASE WHEN doc_id % 5 = 1 THEN ' ### ## #' ELSE '' END "

@@ -129,3 +129,30 @@ def test_domain_quota_caps_and_orders(spark):
     )
     assert "partitionBy" not in plan or True  # window present
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_temperature_mixture_limits(spark):
+    from graphlab_spark.operators.sampling import temperature_mixture
+
+    # head domain: 8 docs x 10 tokens; tail domain: 2 docs x 10 tokens
+    rows = [(i, "a b c d e f g h i j", "head") for i in range(8)] + [
+        (100 + i, "a b c d e f g h i j", "tail") for i in range(2)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # alpha=1 reproduces the raw mixture exactly (boost 1 everywhere)
+    a1 = {r.domain: r for r in temperature_mixture(docs, alpha=1.0).collect()}
+    assert a1["head"].mix_weight == a1["head"].raw_share == 0.8
+    assert a1["tail"].boost == 1.0
+
+    # alpha=0 is uniform over domains regardless of mass
+    a0 = {r.domain: r for r in temperature_mixture(docs, alpha=0.0).collect()}
+    assert a0["head"].mix_weight == a0["tail"].mix_weight == 0.5
+
+    # 0 < alpha < 1 upsamples the tail, downsamples the head
+    ah = {r.domain: r for r in temperature_mixture(docs, alpha=0.5).collect()}
+    assert ah["tail"].boost > 1.0 > ah["head"].boost
+    assert abs(ah["head"].mix_weight + ah["tail"].mix_weight - 1.0) < 1e-9
+    # hand-computed: w = (80, 20); sqrt = (8.944272, 4.472136) → 2/3, 1/3
+    assert abs(ah["head"].mix_weight - 2 / 3) < 1e-5
+    assert ah["head"].n_docs == 8 and ah["head"].n_tokens == 80

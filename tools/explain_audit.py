@@ -358,6 +358,18 @@ def main() -> None:
     ok_all &= check("t22 no row-at-a-time Python", "BatchEvalPython" not in p)
     ok_all &= check("t22 zero Exchange", "Exchange" not in p)
 
+    # 19. t23 temperature mixture: the corpus shuffle is the
+    # partial-aggregated groupBy(domain); the single-partition window
+    # exchange runs on the DOMAINS-sized aggregated frame only
+    p = plan_of(REGISTRY["t23_temperature_mixture"].fn(spark, sf_dir))
+    ok_all &= check("t23 domain agg partial-aggregates map-side", "partial_count" in p)
+    # the groupBy key keeps its pre-alias name (source) in the plan
+    ok_all &= check(
+        "t23 corpus shuffle keyed on domain",
+        "hashpartitioning(source" in p or "hashpartitioning(domain" in p,
+    )
+    ok_all &= check("t23 no Python in the row path", "EvalPython" not in p)
+
     print("\nAUDIT", "PASS" if ok_all else "HAS WARNINGS")
     sys.exit(0 if ok_all else 1)
 
