@@ -411,3 +411,63 @@ def _pagerank_driver(
         dangling = r[no_out].sum()
         r = (1.0 - damping) / n + damping * dangling / n + damping * contrib
     return [(v, float(r[pos[v]])) for v in ids]
+
+
+def k_core(
+    edges: DataFrame, k: int = 3, n_rounds: int | None = None
+) -> DataFrame:
+    """The k-core of the undirected distinct adjacency (self-loops
+    excluded): iteratively peel nodes with degree < ``k`` until the
+    fixpoint → (id, deg), deg measured WITHIN the surviving core.
+
+    ``n_rounds=None`` runs to convergence with early stop (one bounded
+    driver count per round — the BFS/CC loop discipline); a fixed
+    ``n_rounds`` peels exactly that many synchronous rounds, the
+    LPA-style contract that makes the operator SQL-mirrorable (the
+    oracle unrolls the same rounds). The two agree whenever the graph
+    converges within ``n_rounds`` — pinned for the frozen golden graph
+    in tests.
+
+    Scale shape: each round is one partial-aggregated degree groupBy +
+    two semi-joins against the kept-node set (O(nodes), AQE broadcasts
+    it while it fits); the shrinking edge frame is scratch-pinned per
+    round so lineage stays flat. Peeling rounds on web graphs are few
+    (degeneracy ordering converges in O(log n) synchronous rounds in
+    practice).
+    """
+    import uuid
+
+    from graphlab_spark.operators.scratch import cleanup_prefix, materialize
+
+    tag = f"kcore_{uuid.uuid4().hex[:8]}"
+    cur = undirected(edges).filter(F.col("src") != F.col("dst"))
+    prev_nodes = -1
+    i = 0
+    while True:
+        keep = (
+            cur.groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("id")
+        )
+        nxt = materialize(
+            cur.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst"),
+            f"{tag}_it{i:04d}",
+        )
+        if i:
+            cleanup_prefix(f"{tag}_it{i - 1:04d}")
+        cur = nxt
+        i += 1
+        if n_rounds is not None:
+            if i >= n_rounds:
+                break
+        else:
+            n_nodes = cur.select("src").distinct().count()
+            if n_nodes == prev_nodes:
+                break
+            prev_nodes = n_nodes
+    return cur.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

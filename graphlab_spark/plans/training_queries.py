@@ -1259,6 +1259,35 @@ def kg_sssp(spark, sf):
     )
 
 
+_KCORE_ROUND = (
+    "k{n} AS (SELECT src AS id FROM r{p} GROUP BY 1 HAVING COUNT(*) >= 3), "
+    "r{n} AS (SELECT src, dst FROM r{p} WHERE src IN (SELECT id FROM k{n}) "
+    " AND dst IN (SELECT id FROM k{n}))"
+)
+
+
+@q(
+    "kg_kcore",
+    # 3 synchronous peel rounds unrolled (the LPA fixed-round contract);
+    # the frozen golden graph reaches its 3-core fixpoint in round 1,
+    # pinned by tests, so the unroll IS the k-core
+    _GOLDEN_UND + ", "
+    "r0 AS (SELECT src, dst FROM u WHERE src <> dst), "
+    + _KCORE_ROUND.format(n=1, p=0) + ", "
+    + _KCORE_ROUND.format(n=2, p=1) + ", "
+    + _KCORE_ROUND.format(n=3, p=2) + " "
+    "SELECT src AS id, COUNT(*) AS deg FROM r3 GROUP BY 1",
+    "graph analytics: 3-core decomposition by synchronous peeling "
+    "(degree groupBy + two semi-joins per round, kept-set "
+    "AQE-broadcastable) over the live canonical edges vs the frozen "
+    "golden adjacency",
+)
+def kg_kcore(spark, sf):
+    from graphlab_spark.operators.graph_query import k_core
+
+    return k_core(_kg_pipeline(spark)["edges"], k=3, n_rounds=3)
+
+
 _LPA_ROUND = (
     "c{n} AS (SELECT a.src AS id, l{p}.lbl, COUNT(*) AS cnt "
     " FROM a JOIN l{p} ON a.dst = l{p}.id GROUP BY 1, 2), "

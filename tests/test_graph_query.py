@@ -247,3 +247,51 @@ def test_bfs_distances_cycle_terminates(spark):
     )
     got = {(r.id, r.dist) for r in bfs_distances(e, "a", max_hops=6).collect()}
     assert got == {("a", 0), ("b", 1), ("c", 1)}
+
+
+def test_k_core_cascade_and_fixpoint(spark):
+    from graphlab_spark.operators.graph_query import k_core
+
+    # triangle a-b-c with a tail c-d-e: the 2-core is exactly the
+    # triangle, and peeling must CASCADE (e falls round 1, d round 2)
+    e = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"),
+         ("c", "r", "d"), ("d", "r", "e")],
+        "src string, pred string, dst string",
+    )
+    got = {(r.id, r.deg) for r in k_core(e, k=2).collect()}
+    assert got == {("a", 2), ("b", 2), ("c", 2)}
+    # one round is NOT enough (d still present after round 1)
+    one = {r.id for r in k_core(e, k=2, n_rounds=1).collect()}
+    assert "d" in one
+    # two rounds reach the fixpoint here
+    two = {(r.id, r.deg) for r in k_core(e, k=2, n_rounds=2).collect()}
+    assert two == got
+
+
+def test_k_core_empty_result(spark):
+    from graphlab_spark.operators.graph_query import k_core
+
+    e = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c")],
+        "src string, pred string, dst string",
+    )
+    assert k_core(e, k=2).count() == 0
+
+
+def test_k_core_golden_unroll_is_fixpoint(spark):
+    """The kg_kcore oracle unrolls 3 rounds: pin that 3 rounds == the
+    true fixpoint on the frozen golden adjacency."""
+    from graphlab_spark.operators.graph_query import k_core
+
+    golden = (
+        spark.read.parquet("/root/repo/fixtures/golden_triples.parquet")
+        .select(
+            F.col("subj_id").alias("src"),
+            F.lit("r").alias("pred"),
+            F.col("obj_id").alias("dst"),
+        )
+    )
+    fix = {(r.id, r.deg) for r in k_core(golden, k=3).collect()}
+    unrolled = {(r.id, r.deg) for r in k_core(golden, k=3, n_rounds=3).collect()}
+    assert fix == unrolled and len(fix) == 151

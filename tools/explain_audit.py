@@ -293,6 +293,15 @@ def main() -> None:
     ok_all &= check(
         "neighbor_jaccard pair count partial-aggregates map-side", "partial_count" in p
     )
+    from graphlab_spark.operators.graph_query import k_core
+
+    # rounds are scratch-materialized, so the returned plan shows the
+    # final degree agg over the last round's parquet (flat lineage —
+    # itself the property worth checking)
+    p = plan_of(k_core(edges_small, k=2, n_rounds=1))
+    ok_all &= check("k_core no CartesianProduct", "CartesianProduct" not in p)
+    ok_all &= check("k_core degree agg partial-aggregates map-side", "partial_count" in p)
+    ok_all &= check("k_core lineage flat (reads the pinned round)", "Scan parquet" in p)
     # t17 funnel: stage reports are global partial-aggregated counts/sums
     # — no windows or shuffles beyond the constituent dedup/quota ones
     p = plan_of(REGISTRY["t17_curation_funnel"].fn(spark, sf_dir))
