@@ -1387,6 +1387,10 @@ reorder_registry_last(
         "e01_windowed_event_counts",
         "e02_user_sessions",
         "e03_props_json_stats",
+        "t01_token_count",
+        "t02_quality_score",
+        "t03_lang_id",
+        "t04_fingerprint",
         "a01_filter_eq",
         "a02_filter_null_tombstone",
         "a04_disjunction",

@@ -44,6 +44,13 @@ def test_cap_split_is_intentional():
     # these ten have identical recorded passes in CORRECTNESS_r01–r03 and
     # rotate out so the r3 past-cap gates get driver records this round.
     parked_oracled = {
+        "e01_windowed_event_counts",
+        "e02_user_sessions",
+        "e03_props_json_stats",
+        "t01_token_count",
+        "t02_quality_score",
+        "t03_lang_id",
+        "t04_fingerprint",
         "a01_filter_eq",
         "a02_filter_null_tombstone",
         "a04_disjunction",
