@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from graphlab_spark.functions import normalize as NORM
 from graphlab_spark.functions import textstats as TS
 from graphlab_spark.operators import ann as ANN
+from graphlab_spark.operators import chunking as CHK
 from graphlab_spark.operators import dedup as DD
 from graphlab_spark.operators import multimodal as MM
 from graphlab_spark.operators import sampling as SMP
@@ -840,6 +841,19 @@ def t23(spark, sf):
     return SMP.temperature_mixture(_t(spark, sf, "documents"), alpha=0.5)
 
 
+@q(
+    "t24_chunk_documents",
+    # fixed-size overlapping token windows (64/stride 48): same starts
+    # grid and 1-based inclusive slice on both engines
+    CHK.chunk_sql(size=64, stride=48),
+    "document chunking into overlapping token windows (embedding/RAG "
+    "precursor): pure per-row JVM array algebra, zero shuffle, output "
+    "inherits the doc-contiguous input layout",
+)
+def t24(spark, sf):
+    return CHK.chunk_documents(_t(spark, sf, "documents"), size=64, stride=48)
+
+
 _T16_SRC_SQL = (
     "(SELECT doc_id, text "
     "|| CASE WHEN doc_id % 5 = 1 THEN ' ### ## #' ELSE '' END "
@@ -1391,6 +1405,7 @@ reorder_registry_last(
         "t02_quality_score",
         "t03_lang_id",
         "t04_fingerprint",
+        "d01_exact_dup_groups",
         "a01_filter_eq",
         "a02_filter_null_tombstone",
         "a04_disjunction",

@@ -51,6 +51,7 @@ def test_cap_split_is_intentional():
         "t02_quality_score",
         "t03_lang_id",
         "t04_fingerprint",
+        "d01_exact_dup_groups",
         "a01_filter_eq",
         "a02_filter_null_tombstone",
         "a04_disjunction",

@@ -367,6 +367,12 @@ def main() -> None:
     ok_all &= check("t22 no row-at-a-time Python", "BatchEvalPython" not in p)
     ok_all &= check("t22 zero Exchange", "Exchange" not in p)
 
+    # 19b. t24 chunking: pure per-row array algebra — zero Exchange,
+    # zero Python, output inherits the documents scan layout
+    p = plan_of(REGISTRY["t24_chunk_documents"].fn(spark, sf_dir))
+    ok_all &= check("t24 chunking zero Exchange", "Exchange" not in p)
+    ok_all &= check("t24 chunking no Python", "EvalPython" not in p)
+
     # 19. t23 temperature mixture: the corpus shuffle is the
     # partial-aggregated groupBy(domain); the single-partition window
     # exchange runs on the DOMAINS-sized aggregated frame only
