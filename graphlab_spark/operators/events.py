@@ -228,3 +228,62 @@ def props_stats(events: DataFrame, json_path: str = "$.k") -> DataFrame:
             F.max("_k").alias("max_k"),
         )
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Greedy ordered-funnel matching per ``key``: stage i matches the
+    EARLIEST event of type ``stages[i]`` at-or-after the matched stage
+    i-1 timestamp (ties inclusive) → (key, stage_reached, t_<stage>...),
+    stage_reached in [0, len(stages)], timestamps NULL beyond the
+    reached stage. Every key with any event appears (stage 0 = never
+    entered the funnel).
+
+    The greedy earliest-chain is the standard funnel definition
+    (monotone: relaxing any prefix cannot help later stages), and it is
+    what makes the operator exactly SQL-mirrorable as a chain of
+    conditional MIN aggregations.
+
+    Scale shape: one filtered conditional-MIN agg + one left join PER
+    STAGE, every one keyed on ``key`` — a single logical shuffle key
+    throughout, so co-partitioning is reused across the whole chain
+    (bucketing events by key makes the entire funnel exchange-free);
+    each stage's agg partial-aggregates map-side. Stage count is fixed
+    and small; nothing is ever corpus × corpus.
+    """
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    res = events.select(key).distinct()
+    prev_t = None
+    tcols = []
+    for i, s in enumerate(stages, 1):
+        ev_s = events.filter(F.col(type_col) == s).select(
+            key, F.col(ts).alias("_ts")
+        )
+        tcol = f"t_{s}"
+        if prev_t is None:
+            ti = ev_s.groupBy(key).agg(F.min("_ts").alias(tcol))
+        else:
+            ti = (
+                ev_s.join(res.select(key, prev_t).filter(F.col(prev_t).isNotNull()), key)
+                .filter(F.col("_ts") >= F.col(prev_t))
+                .groupBy(key)
+                .agg(F.min("_ts").alias(tcol))
+            )
+        res = res.join(ti, key, "left")
+        prev_t = tcol
+        tcols.append(tcol)
+    reached = None
+    for i, c in enumerate(tcols, 1):
+        stage_i = F.when(F.col(c).isNotNull(), i).otherwise(0)
+        reached = stage_i if reached is None else F.greatest(reached, stage_i)
+    return res.select(
+        key,
+        reached.cast("long").alias("stage_reached"),
+        *[F.col(c) for c in tcols],
+    )

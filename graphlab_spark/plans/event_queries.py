@@ -137,3 +137,53 @@ def e06(spark, sf):
         F.col("p_event_id").alias("purchase_event_id"),
         F.round("p_value", 2).alias("purchase_value"),
     )
+
+
+_FUNNEL = ["signup", "view", "click", "purchase"]
+
+
+@q(
+    "e07_funnel_stages",
+    # greedy earliest-chain funnel: stage i = MIN ts of its type
+    # at-or-after stage i-1's matched ts — the same chain of
+    # conditional MIN aggregations on both engines
+    "WITH u AS (SELECT DISTINCT user_id FROM events), "
+    "s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+    " WHERE event_type = 'signup' GROUP BY 1), "
+    "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+    " JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1 "
+    " WHERE e.event_type = 'view' GROUP BY 1), "
+    "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+    " JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2 "
+    " WHERE e.event_type = 'click' GROUP BY 1), "
+    "s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e "
+    " JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.t3 "
+    " WHERE e.event_type = 'purchase' GROUP BY 1) "
+    "SELECT u.user_id, "
+    "CAST(CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3 "
+    " WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 "
+    " ELSE 0 END AS BIGINT) AS stage_reached, "
+    "strftime(t1, '%Y-%m-%d %H:%M:%S') AS t_signup, "
+    "strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_view, "
+    "strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_click, "
+    "strftime(t4, '%Y-%m-%d %H:%M:%S') AS t_purchase "
+    "FROM u LEFT JOIN s1 ON u.user_id = s1.user_id "
+    "LEFT JOIN s2 ON u.user_id = s2.user_id "
+    "LEFT JOIN s3 ON u.user_id = s3.user_id "
+    "LEFT JOIN s4 ON u.user_id = s4.user_id",
+    "ordered event funnel (signup -> view -> click -> purchase): greedy "
+    "earliest-chain per user; one conditional-MIN agg + left join per "
+    "stage, all keyed on user_id so co-partitioning is reused end-to-end",
+)
+def e07(spark, sf):
+    from pyspark.sql import functions as F
+
+    j = EV.funnel_stages(_t(spark, sf, "events"), _FUNNEL)
+    return j.select(
+        "user_id",
+        "stage_reached",
+        *[
+            F.date_format(f"t_{s}", EV.TS_FMT).alias(f"t_{s}")
+            for s in _FUNNEL
+        ],
+    )

@@ -120,3 +120,47 @@ def test_value_percentiles_exact_vs_approx(spark):
             slack = 0.02 + 1.0 / n
             assert rank_le >= target - slack and rank_lt <= target + slack, (
                 et, target, a, rank_lt, rank_le)
+
+
+def test_funnel_greedy_semantics(spark):
+    import datetime as dt
+
+    from graphlab_spark.operators.events import funnel_stages
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    rows = [
+        # user 1 completes in order
+        (1, t(1), "signup"), (1, t(2), "view"), (1, t(3), "click"),
+        (1, t(4), "purchase"),
+        # user 2: purchase BEFORE click → stops at click (stage 3)
+        (2, t(1), "signup"), (2, t(2), "view"), (2, t(4), "click"),
+        (2, t(3), "purchase"),
+        # user 3: no signup at all → stage 0 despite later events
+        (3, t(1), "view"), (3, t(2), "click"), (3, t(3), "purchase"),
+        # user 4: simultaneous signup+view (inclusive tie matches)
+        (4, t(5), "signup"), (4, t(5), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.user_id: r
+        for r in funnel_stages(
+            ev, ["signup", "view", "click", "purchase"]
+        ).collect()
+    }
+    assert got[1].stage_reached == 4 and got[1].t_purchase == t(4)
+    assert got[2].stage_reached == 3 and got[2].t_purchase is None
+    assert got[3].stage_reached == 0 and got[3].t_signup is None
+    assert got[4].stage_reached == 2 and got[4].t_view == t(5)
+    # greedy chain is monotone: nulls only AFTER the reached stage
+    for u, r in got.items():
+        ts_list = [r.t_signup, r.t_view, r.t_click, r.t_purchase]
+        seen_null = False
+        for v in ts_list:
+            if v is None:
+                seen_null = True
+            else:
+                assert not seen_null

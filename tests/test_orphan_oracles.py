@@ -52,6 +52,7 @@ def test_cap_split_is_intentional():
         "t03_lang_id",
         "t04_fingerprint",
         "d01_exact_dup_groups",
+        "d03_ngram_jaccard_pairs",
         "a01_filter_eq",
         "a02_filter_null_tombstone",
         "a04_disjunction",

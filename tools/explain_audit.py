@@ -367,6 +367,17 @@ def main() -> None:
     ok_all &= check("t22 no row-at-a-time Python", "BatchEvalPython" not in p)
     ok_all &= check("t22 zero Exchange", "Exchange" not in p)
 
+    # 19a. e07 funnel: every stage agg/join keyed on user_id (one
+    # logical shuffle key end-to-end), partial-agg MINs, no cartesian
+    p = plan_of(REGISTRY["e07_funnel_stages"].fn(spark, sf_dir))
+    ok_all &= check("e07 funnel no CartesianProduct", "CartesianProduct" not in p)
+    ok_all &= check("e07 funnel stage MINs partial-aggregate", "partial_min" in p)
+    ok_all &= check(
+        "e07 funnel keyed on user_id only",
+        "hashpartitioning(user_id" in p and "hashpartitioning(event_type" not in p,
+    )
+    ok_all &= check("e07 funnel no Python", "EvalPython" not in p)
+
     # 19b. t24 chunking: pure per-row array algebra — zero Exchange,
     # zero Python, output inherits the documents scan layout
     p = plan_of(REGISTRY["t24_chunk_documents"].fn(spark, sf_dir))
