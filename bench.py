@@ -57,6 +57,7 @@ def main() -> None:
     from graphlab_spark.operators.extract import extract_stage
     from graphlab_spark.operators.triples import triples_stage
     from graphlab_spark.plans import event_queries  # noqa: F401  (fills REGISTRY)
+    from graphlab_spark.plans import training_queries  # noqa: F401  (t25 et al.)
     from graphlab_spark.plans.pipeline import run_pipeline_in_memory
     from graphlab_spark.plans.relational import REGISTRY
     from graphlab_spark.functions import textstats as TS
@@ -151,6 +152,21 @@ def main() -> None:
     timed(
         "asof_join",
         lambda: _count(REGISTRY["e06_asof_join_last_purchase"].fn(spark, sf_dir)),
+    )
+    # r4 fourth wave: funnel (stage-chained conditional MINs on
+    # user_id), cohort retention (user-keyed aggs + O(weeks^2) grid),
+    # BM25 (zero-shuffle scoring + 1-row stats broadcast)
+    timed(
+        "event_funnel",
+        lambda: _count(REGISTRY["e07_funnel_stages"].fn(spark, sf_dir)),
+    )
+    timed(
+        "cohort_retention",
+        lambda: _count(REGISTRY["e08_cohort_retention"].fn(spark, sf_dir)),
+    )
+    timed(
+        "bm25_ranking",
+        lambda: _count(REGISTRY["t25_bm25_ranking"].fn(spark, sf_dir)),
     )
     timed(
         "text_stats",

@@ -287,3 +287,38 @@ def funnel_stages(
         reached.cast("long").alias("stage_reached"),
         *[F.col(c) for c in tcols],
     )
+
+
+def cohort_retention(
+    events: DataFrame, key: str = "user_id", ts: str = "ts"
+) -> DataFrame:
+    """Weekly cohort-retention matrix: cohort_week = Monday-truncated
+    week of each key's FIRST event; every (key, active week) pair then
+    lands in bucket ``week_index = (active_week - cohort_week) / 7``
+    days (both week-starts, so the division is exact). Output
+    (cohort_week, week_index, n_users) — the classic retention
+    triangle; week_index 0 row is the cohort size.
+
+    Scale shape: activity distinct and the first-event MIN both shuffle
+    on ``key`` (one logical key, partial-aggregated map-side), their
+    join is key-co-partitioned, and the final groupBy lands on the
+    (cohort_week, week_index) grid — O(weeks²) rows, independent of
+    input size. countDistinct(key) inside one cohort cell is exact
+    because a key contributes each active week once (the distinct
+    upstream); no expansion joins anywhere.
+    """
+    wk = F.date_trunc("week", F.col(ts)).cast("date")
+    first = (
+        events.groupBy(key)
+        .agg(F.min(ts).alias("_first_ts"))
+        .select(key, F.date_trunc("week", "_first_ts").cast("date").alias("_cw"))
+    )
+    active = events.select(key, wk.alias("_wk")).distinct()
+    return (
+        active.join(first, key)
+        .groupBy(
+            F.col("_cw").alias("cohort_week"),
+            F.floor(F.datediff("_wk", "_cw") / 7).cast("long").alias("week_index"),
+        )
+        .agg(F.count_distinct(key).alias("n_users"))
+    )

@@ -187,3 +187,32 @@ def e07(spark, sf):
             for s in _FUNNEL
         ],
     )
+
+
+@q(
+    "e08_cohort_retention",
+    # cohort = Monday-truncated week of first event; week_index =
+    # (active_week - cohort_week)/7 days, exact because both dates are
+    # week starts. DuckDB date_trunc('week') is Monday-based like
+    # Spark's.
+    "WITH f AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)"
+    " AS cw FROM events GROUP BY 1), "
+    "a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)"
+    " AS wk FROM events) "
+    "SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, "
+    "date_diff('day', cw, wk) // 7 AS week_index, "
+    "COUNT(DISTINCT a.user_id) AS n_users "
+    "FROM a JOIN f USING (user_id) GROUP BY 1, 2",
+    "weekly cohort-retention triangle: first-event cohort x weeks-since "
+    "distinct actives; both heavy aggs key on user_id (co-partitioned "
+    "join), final grid is O(weeks^2) regardless of input size",
+)
+def e08(spark, sf):
+    from pyspark.sql import functions as F
+
+    r = EV.cohort_retention(_t(spark, sf, "events"))
+    return r.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_index",
+        "n_users",
+    )

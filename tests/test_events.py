@@ -164,3 +164,35 @@ def test_funnel_greedy_semantics(spark):
                 seen_null = True
             else:
                 assert not seen_null
+
+
+def test_cohort_retention_semantics(spark):
+    import datetime as dt
+
+    from graphlab_spark.operators.events import cohort_retention
+
+    # Mondays: 2024-01-01 (w0), 2024-01-08 (w1), 2024-01-15 (w2)
+    def d(day, h=12):
+        return dt.datetime(2024, 1, day, h)
+
+    rows = [
+        # user 1: cohort w0, active w0 and w2 (twice in w2 -> one active week)
+        (1, d(3), "view"), (1, d(16), "click"), (1, d(17), "view"),
+        # user 2: cohort w0, active w0 only
+        (2, d(1), "view"),
+        # user 3: cohort w1, active w1 and w2
+        (3, d(9), "view"), (3, d(15), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (str(r.cohort_week), r.week_index): r.n_users
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }

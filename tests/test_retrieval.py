@@ -1,0 +1,67 @@
+import math
+
+import pytest
+
+from graphlab_spark.operators.retrieval import bm25_scores
+
+
+def _py_bm25(corpus, terms, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf:
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            out[i] = round(s, 6)
+    return out
+
+
+CORPUS = [
+    (1, "spark join spark table"),
+    (2, "the quick brown fox"),
+    (3, "spark spark spark spark spark spark"),
+    (4, "join table scan"),
+    (5, "SPARK Join mixed case tokens here"),
+]
+
+
+def test_bm25_matches_python_reference(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(docs, ["spark", "join"]).collect()
+    }
+    want = _py_bm25(CORPUS, ["spark", "join"])
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6), k
+
+
+def test_bm25_ordering_properties(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(docs, ["spark", "join"]).collect()
+    }
+    # doc 2 has no query term → absent
+    assert 2 not in got
+    # tf saturation: doc 3 (6×spark, short) outranks doc 1 (2×spark+join
+    # partial) on the spark component alone but doc 1 adds join idf
+    assert got[3] > 0 and got[1] > 0
+    # case folding: doc 5 matches despite mixed case
+    assert 5 in got
+
+
+def test_bm25_single_term_and_empty(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = {r.doc_id for r in bm25_scores(docs, ["join"]).collect()}
+    assert got == {1, 4, 5}
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])

@@ -378,6 +378,21 @@ def main() -> None:
     )
     ok_all &= check("e07 funnel no Python", "EvalPython" not in p)
 
+    # 19a'. e08 cohort retention: both heavy aggs key on user_id; the
+    # final grid agg partial-aggregates; no Python anywhere
+    p = plan_of(REGISTRY["e08_cohort_retention"].fn(spark, sf_dir))
+    ok_all &= check("e08 cohort keyed on user_id", "hashpartitioning(user_id" in p)
+    ok_all &= check("e08 cohort partial-agg first-event MIN", "partial_min" in p)
+    ok_all &= check("e08 cohort no Python", "EvalPython" not in p)
+
+    # 19a''. t25 BM25: per-doc tf/dl JVM-only; corpus stats collapse to
+    # ONE row broadcast back (BroadcastNestedLoopJoin on a 1-row side) —
+    # no data-sized shuffle, no Python, no cartesian product of data
+    p = plan_of(REGISTRY["t25_bm25_ranking"].fn(spark, sf_dir))
+    ok_all &= check("t25 bm25 stats broadcast back", "BroadcastNestedLoopJoin" in p)
+    ok_all &= check("t25 bm25 no doc-keyed shuffle", "hashpartitioning(doc_id" not in p)
+    ok_all &= check("t25 bm25 no Python", "EvalPython" not in p)
+
     # 19b. t24 chunking: pure per-row array algebra — zero Exchange,
     # zero Python, output inherits the documents scan layout
     p = plan_of(REGISTRY["t24_chunk_documents"].fn(spark, sf_dir))
