@@ -65,6 +65,39 @@ def main() -> None:
             rel_rows.append({"url": url, "relevance": round(total, 4)})
     pd.DataFrame(rel_rows).to_parquet("fixtures/golden_relevance.parquet", index=False)
 
+    # co-mention PMI (operators/cooccur.py contract): distinct per-doc
+    # normalized mention keys; N = docs with >=1 mention; pairs kept at
+    # n_ij >= 2; pmi = round(ln(n_ij*N/(n_i*n_j)), 4)
+    import itertools
+    import math
+    from collections import Counter
+
+    doc_keys: dict[str, set] = {}
+    for url, i in sorted(latest.items()):
+        text = extract_text_bytes(recs[i]["html"])
+        ks = {_norm_key(m["surface"]) for m in find_mentions(text, alias_map)}
+        if ks:
+            doc_keys[url] = ks
+    n_docs = len(doc_keys)
+    n_i: Counter = Counter()
+    n_ij: Counter = Counter()
+    for ks in doc_keys.values():
+        for k in ks:
+            n_i[k] += 1
+        for ka, kb in itertools.combinations(sorted(ks), 2):
+            n_ij[(ka, kb)] += 1
+    pmi_rows = [
+        {
+            "key_a": ka,
+            "key_b": kb,
+            "n_ij": c,
+            "pmi": round(math.log((c * n_docs) / (n_i[ka] * n_i[kb])), 4),
+        }
+        for (ka, kb), c in sorted(n_ij.items())
+        if c >= 2
+    ]
+    pd.DataFrame(pmi_rows).to_parquet("fixtures/golden_comention.parquet", index=False)
+
     print(
         f"froze {len(text_rows)} texts, "
         f"{len(corpus.golden_triples_local(N_PAGES))} triples, "

@@ -1380,6 +1380,24 @@ def kg_c14(spark, sf):
     )
 
 
+@q(
+    "kg_comention_pmi",
+    f"SELECT key_a, key_b, n_ij, pmi FROM '{REPO_FIXTURES}/golden_comention.parquet'",
+    "entity co-mention PMI over distinct per-doc normalized mention keys "
+    "(ALL mentions incl. UNK — the freeze replica's contract): self-join "
+    "on url bounds the pair fan-out by per-doc entity count, both "
+    "groupBys partial-aggregate, N is a 1-row broadcast agg; live "
+    "computation vs frozen golden (freeze_goldens.py)",
+)
+def kg_comention(spark, sf):
+    from graphlab_spark.operators.cooccur import comention_pmi
+    from graphlab_spark.operators.linking import norm_key_udf
+
+    mentions = _kg_pipeline(spark)["mentions"]
+    dk = mentions.select("url", norm_key_udf(F.col("surface")).alias("skey"))
+    return comention_pmi(dk)
+
+
 _BM25_TERMS = ["spark", "dup", "vector"]  # dup is rare → real idf spread
 _BM25_TF = ", ".join(
     f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
@@ -1446,6 +1464,7 @@ reorder_registry_last(
         "t04_fingerprint",
         "d01_exact_dup_groups",
         "d03_ngram_jaccard_pairs",
+        "a25_joined_load",
         "m02_frame_sample_counts",
         "m03_resize_plan",
         "a01_filter_eq",

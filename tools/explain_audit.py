@@ -393,6 +393,15 @@ def main() -> None:
     ok_all &= check("t25 bm25 no doc-keyed shuffle", "hashpartitioning(doc_id" not in p)
     ok_all &= check("t25 bm25 no Python", "EvalPython" not in p)
 
+    # 19a'''. kg co-mention PMI: the pair fan-out is a url-keyed
+    # self-join (never corpus × corpus); N comes back as a 1-row
+    # broadcast; pair counts partial-aggregate
+    p = plan_of(REGISTRY["kg_comention_pmi"].fn(spark, sf_dir))
+    ok_all &= check("comention pair join keyed on url", "hashpartitioning(url" in p)
+    ok_all &= check("comention pair counts partial-aggregate", "partial_count" in p)
+    ok_all &= check("comention N broadcast back", "BroadcastNestedLoopJoin" in p)
+    ok_all &= check("comention no CartesianProduct", "CartesianProduct" not in p)
+
     # 19b. t24 chunking: pure per-row array algebra — zero Exchange,
     # zero Python, output inherits the documents scan layout
     p = plan_of(REGISTRY["t24_chunk_documents"].fn(spark, sf_dir))
