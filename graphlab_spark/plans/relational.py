@@ -423,6 +423,61 @@ def c13(spark, sf):
     )
 
 
+@q(
+    "a27_rollup_subtotals",
+    # GROUP BY ROLLUP: per-(flag, status) rows + per-flag subtotals +
+    # grand total, subtotal levels carrying NULL group keys — identical
+    # lattice semantics on both engines
+    "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "
+    "ROUND(sum(l_quantity), 2) AS sum_qty, "
+    "ROUND(sum(l_extendedprice), 2) AS sum_price "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+    "hierarchical subtotal aggregation (OLAP ROLLUP): Spark expands the "
+    "grouping lattice BEFORE the exchange, so map-side partial "
+    "aggregation still collapses each partition to one row per lattice "
+    "cell — one shuffle whose volume is O(cells), not O(rows x levels)",
+)
+def a27(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "a28_pivot_event_matrix",
+    # explicit pivot value list on both engines (Spark's implicit-values
+    # pivot would add a distinct scan AND make the schema data-dependent);
+    # absent combinations are 0 on both sides (fillna / FILTER count)
+    "SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, "
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}"
+        for t in _PIVOT_TYPES
+    )
+    + " FROM events GROUP BY 1",
+    "long-to-wide pivot (events day x type count matrix): fixed literal "
+    "pivot columns keep the plan a single partial-aggregated hash "
+    "aggregate keyed on day — no extra distinct pass, no data-dependent "
+    "schema",
+)
+def a28(spark, sf):
+    piv = (
+        _t(spark, sf, "events")
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.na.fill(0, _PIVOT_TYPES)
+
+
 # -------------------------------------------------- headline bench queries
 
 @q(

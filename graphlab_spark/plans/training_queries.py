@@ -1464,6 +1464,8 @@ reorder_registry_last(
         "t04_fingerprint",
         "d01_exact_dup_groups",
         "d03_ngram_jaccard_pairs",
+        "d02_exact_dedup_keepers",
+        "s01_ann_bruteforce_topk",
         "a25_joined_load",
         "m02_frame_sample_counts",
         "m03_resize_plan",

@@ -53,6 +53,8 @@ def test_cap_split_is_intentional():
         "t04_fingerprint",
         "d01_exact_dup_groups",
         "d03_ngram_jaccard_pairs",
+        "d02_exact_dedup_keepers",
+        "s01_ann_bruteforce_topk",
         "a25_joined_load",
         "m02_frame_sample_counts",
         "m03_resize_plan",

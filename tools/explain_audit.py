@@ -393,6 +393,20 @@ def main() -> None:
     ok_all &= check("t25 bm25 no doc-keyed shuffle", "hashpartitioning(doc_id" not in p)
     ok_all &= check("t25 bm25 no Python", "EvalPython" not in p)
 
+    # 19a''''. a27 ROLLUP: the grouping lattice expands BEFORE the
+    # exchange (Expand feeds a partial HashAggregate), so shuffle volume
+    # is O(lattice cells); a28 pivot: fixed literal columns keep it one
+    # partial-aggregated hash aggregate, no Python
+    p = plan_of(REGISTRY["a27_rollup_subtotals"].fn(spark, sf_dir))
+    ok_all &= check("a27 rollup lattice expands map-side", "Expand" in p)
+    ok_all &= check("a27 rollup partial-aggregates", "partial_count" in p)
+    ok_all &= check(
+        "a27 rollup single agg exchange", p.count("Exchange hashpartitioning") <= 1
+    )
+    p = plan_of(REGISTRY["a28_pivot_event_matrix"].fn(spark, sf_dir))
+    ok_all &= check("a28 pivot no Python", "EvalPython" not in p)
+    ok_all &= check("a28 pivot partial-aggregates", "partial_pivotfirst" in p or "partial_count" in p)
+
     # 19a'''. kg co-mention PMI: the pair fan-out is a url-keyed
     # self-join (never corpus × corpus); N comes back as a 1-row
     # broadcast; pair counts partial-aggregate
