@@ -471,3 +471,29 @@ def k_core(
     return cur.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+def two_hop_paths(
+    edges: DataFrame, pred1: str, pred2: str
+) -> DataFrame:
+    """Typed 2-hop motif match: distinct (src, mid, dst) with
+    src -[pred1]-> mid -[pred2]-> dst. The basic graph-pattern query
+    (Cypher ``(a)-[:P1]->(b)-[:P2]->(c)``; ref
+    backend/app/services/graph_service.py neighborhood traversals).
+
+    Scale shape: both predicate filters are plain column predicates, so
+    they PUSH DOWN to the edge-table scan (a predicate-partitioned or
+    bucketed edge table prunes to two slivers before any shuffle); the
+    single join keys on the shared middle vertex — co-located if the
+    edge table is bucketed by src (sources/bucketed.py), one hash
+    exchange otherwise. Hub-vertex skew is bounded by filtering to one
+    predicate per side first; genuinely hot mids go through
+    operators/skew.salted_join with this same plan.
+    """
+    a = edges.filter(F.col("pred") == pred1).select(
+        F.col("src"), F.col("dst").alias("mid")
+    ).distinct()
+    b = edges.filter(F.col("pred") == pred2).select(
+        F.col("src").alias("mid"), F.col("dst")
+    ).distinct()
+    return a.join(b, "mid").select("src", "mid", "dst").distinct()

@@ -1381,6 +1381,27 @@ def kg_c14(spark, sf):
 
 
 @q(
+    "kg_path_2hop",
+    # typed 2-hop motif over the canonical graph: acquirer → acquired
+    # company → its founder (provenance-style pattern query)
+    f"WITH e AS (SELECT DISTINCT subj_id AS src, pred, obj_id AS dst "
+    f"FROM '{REPO_FIXTURES}/golden_triples.parquet') "
+    "SELECT DISTINCT a.src AS src, a.dst AS mid, b.dst AS dst "
+    "FROM e a JOIN e b ON a.dst = b.src "
+    "WHERE a.pred = 'acquired' AND b.pred = 'founded_by'",
+    "typed 2-hop graph-pattern match (Cypher (a)-[:acquired]->(b)"
+    "-[:founded_by]->(c)): predicate filters push to the edge scan, one "
+    "mid-keyed join (co-located on a src-bucketed edge table); live "
+    "canonical edges vs the frozen golden triple set",
+)
+def kg_path2(spark, sf):
+    from graphlab_spark.operators.graph_query import two_hop_paths
+
+    edges = _kg_pipeline(spark)["edges"].select("src", "pred", "dst")
+    return two_hop_paths(edges, "acquired", "founded_by")
+
+
+@q(
     "kg_comention_pmi",
     f"SELECT key_a, key_b, n_ij, pmi FROM '{REPO_FIXTURES}/golden_comention.parquet'",
     "entity co-mention PMI over distinct per-doc normalized mention keys "
@@ -1464,6 +1485,7 @@ reorder_registry_last(
         "t04_fingerprint",
         "d01_exact_dup_groups",
         "d03_ngram_jaccard_pairs",
+        "d06_embedding_near_dup",
         "d02_exact_dedup_keepers",
         "s01_ann_bruteforce_topk",
         "a25_joined_load",

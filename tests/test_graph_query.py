@@ -295,3 +295,24 @@ def test_k_core_golden_unroll_is_fixpoint(spark):
     fix = {(r.id, r.deg) for r in k_core(golden, k=3).collect()}
     unrolled = {(r.id, r.deg) for r in k_core(golden, k=3, n_rounds=3).collect()}
     assert fix == unrolled and len(fix) == 151
+
+
+def test_two_hop_paths(spark):
+    from graphlab_spark.operators.graph_query import two_hop_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("x", "acquired", "y"),
+            ("y", "founded_by", "p1"),
+            ("y", "founded_by", "p2"),
+            ("x", "founded_by", "p3"),   # wrong first predicate
+            ("z", "acquired", "w"),      # no second hop
+            ("x", "acquired", "y"),      # duplicate edge → still one path
+        ],
+        "src string, pred string, dst string",
+    )
+    got = {
+        (r.src, r.mid, r.dst)
+        for r in two_hop_paths(edges, "acquired", "founded_by").collect()
+    }
+    assert got == {("x", "y", "p1"), ("x", "y", "p2")}

@@ -407,6 +407,14 @@ def main() -> None:
     ok_all &= check("a28 pivot no Python", "EvalPython" not in p)
     ok_all &= check("a28 pivot partial-aggregates", "partial_pivotfirst" in p or "partial_count" in p)
 
+    # 19a'''''. kg 2-hop motif: predicate filters reach the scan side
+    # of the join (Filter before Exchange), single mid-keyed join, no
+    # cartesian
+    p = plan_of(REGISTRY["kg_path_2hop"].fn(spark, sf_dir))
+    ok_all &= check("kg_path_2hop no CartesianProduct", "CartesianProduct" not in p)
+    ok_all &= check("kg_path_2hop predicate filtered", "acquired" in p and "founded_by" in p)
+    ok_all &= check("kg_path_2hop no Python row path", "BatchEvalPython" not in p)
+
     # 19a'''. kg co-mention PMI: the pair fan-out is a url-keyed
     # self-join (never corpus × corpus); N comes back as a 1-row
     # broadcast; pair counts partial-aggregate
