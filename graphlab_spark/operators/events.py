@@ -322,3 +322,43 @@ def cohort_retention(
         )
         .agg(F.count_distinct(key).alias("n_users"))
     )
+
+
+def resample_counts(events: DataFrame, ts: str = "ts") -> DataFrame:
+    """Gap-filling hourly resample: the COMPLETE hour grid from the
+    corpus min to max hour (inclusive), each bucket carrying its event
+    count and value sum, empty buckets materialized as 0 — the
+    time-series shape plotting/anomaly tooling needs (a groupBy alone
+    silently drops empty buckets).
+
+    Scale shape: bucket counts are one partial-aggregated shuffle (the
+    e01 plan); the grid is generated from a ONE-ROW min/max aggregate
+    via ``sequence`` + ``explode`` — O(hours) rows born on an executor,
+    never a driver-side loop — and both join sides are O(hours) after
+    aggregation, so the final join is broadcast-sized regardless of
+    input rows.
+    """
+    hour = F.date_trunc("hour", F.col(ts))
+    bounds = events.agg(
+        F.min(hour).alias("_mn"), F.max(hour).alias("_mx")
+    )
+    grid = bounds.filter(F.col("_mn").isNotNull()).select(
+        F.explode(
+            F.sequence("_mn", "_mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_start")
+    )
+    counts = (
+        events.groupBy(hour.alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("_sv"),
+        )
+    )
+    return (
+        grid.join(counts, "window_start", "left")
+        .select(
+            "window_start",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.round(F.coalesce("_sv", F.lit(0.0)), 2).alias("sum_value"),
+        )
+    )

@@ -216,3 +216,33 @@ def e08(spark, sf):
         "week_index",
         "n_users",
     )
+
+
+@q(
+    "e09_resampled_counts",
+    # complete hourly grid between corpus min/max hours, empty buckets
+    # as 0 — generate_series mirrors Spark's sequence+explode (both
+    # inclusive of the upper bound)
+    "WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS mn, "
+    "date_trunc('hour', MAX(ts)) AS mx FROM events), "
+    "g AS (SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) "
+    " AS ws FROM b WHERE mn IS NOT NULL), "
+    "c AS (SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n, "
+    " SUM(value) AS sv FROM events GROUP BY 1) "
+    "SELECT strftime(g.ws, '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "COALESCE(n, 0) AS n_events, ROUND(COALESCE(sv, 0), 2) AS sum_value "
+    "FROM g LEFT JOIN c ON g.ws = c.ws",
+    "gap-filling hourly resample: complete min-to-max grid with empty "
+    "buckets as 0; counts are the e01 partial-agg shuffle, the grid "
+    "comes from a 1-row min/max agg via sequence+explode (no driver "
+    "loop), and the final join is O(hours) x O(hours)",
+)
+def e09(spark, sf):
+    from pyspark.sql import functions as F
+
+    r = EV.resample_counts(_t(spark, sf, "events"))
+    return r.select(
+        F.date_format("window_start", EV.TS_FMT).alias("window_start"),
+        "n_events",
+        "sum_value",
+    )

@@ -196,3 +196,31 @@ def test_cohort_retention_semantics(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+def test_resample_fills_gaps(spark):
+    import datetime as dt
+
+    from graphlab_spark.operators.events import resample_counts
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 15), 2.0),
+        (2, dt.datetime(2024, 1, 1, 10, 45), 3.0),
+        # gap: hours 11 and 12 empty
+        (3, dt.datetime(2024, 1, 1, 13, 5), 1.5),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    got = {
+        r.window_start.hour: (r.n_events, r.sum_value)
+        for r in resample_counts(ev).collect()
+    }
+    assert got == {10: (2, 5.0), 11: (0, 0.0), 12: (0, 0.0), 13: (1, 1.5)}
+
+
+def test_resample_empty_input(spark):
+    import datetime as dt  # noqa: F401
+
+    from graphlab_spark.operators.events import resample_counts
+
+    ev = spark.createDataFrame([], "event_id long, ts timestamp, value double")
+    assert resample_counts(ev).count() == 0

@@ -407,6 +407,13 @@ def main() -> None:
     ok_all &= check("a28 pivot no Python", "EvalPython" not in p)
     ok_all &= check("a28 pivot partial-aggregates", "partial_pivotfirst" in p or "partial_count" in p)
 
+    # 19a''''''. e09 resample: counts partial-aggregate (the e01
+    # shuffle); the grid derives from a 1-row agg + explode, no Python
+    p = plan_of(REGISTRY["e09_resampled_counts"].fn(spark, sf_dir))
+    ok_all &= check("e09 resample partial-agg counts", "partial_count" in p)
+    ok_all &= check("e09 resample grid via explode", "Generate explode" in p or "Generate" in p)
+    ok_all &= check("e09 resample no Python", "EvalPython" not in p)
+
     # 19a'''''. kg 2-hop motif: predicate filters reach the scan side
     # of the join (Filter before Exchange), single mid-keyed join, no
     # cartesian
