@@ -214,3 +214,48 @@ def temperature_mixture(
         F.round(mix, 6).alias("mix_weight"),
         F.round(mix / raw, 6).alias("boost"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    base_rate: float,
+    alpha: float = 0.5,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "s42",
+) -> DataFrame:
+    """APPLY a temperature mixture: sample each domain at
+    ``min(1, base_rate · boost_d)`` where boost_d comes from
+    ``temperature_mixture`` — the step that turns mixture WEIGHTS into
+    an actual training subsample (upsampling the tail toward the
+    temperature-scaled mix while capping at keep-everything).
+
+    Deterministic like ``stratified_sample`` (same md5 key, no
+    ``rand()``), but the per-domain threshold is computed IN THE PLAN
+    (floor(rate·65536 + 0.5) → 4-hex-digit string; 'g' = keep-all
+    sentinel) from the ROUND-6 boost — rounding first is what makes the
+    thresholds bit-equal across engines (the t23 oracle contract).
+
+    Scale: one pass computes the domain boosts (t23's partial-agg
+    shuffle on a domains-sized frame); the thresholds frame is O(domains)
+    and broadcast, so the sampling itself stays a scan-stage filter —
+    no corpus shuffle.
+    """
+    mix = temperature_mixture(
+        docs, alpha=alpha, domain_col=domain_col, text_col=text_col
+    )
+    n = F.floor(
+        F.least(F.lit(1.0), F.lit(base_rate) * F.col("boost")) * _HEX_SPACE
+        + F.lit(0.5)
+    ).cast("long")
+    thr = F.when(n >= _HEX_SPACE, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(n), 4, "0"))
+    )
+    thrs = mix.select(F.col("domain").alias("_dom"), thr.alias("_thr"))
+    key = sample_key_col(id_col, salt)
+    return (
+        docs.join(F.broadcast(thrs), F.col(domain_col) == F.col("_dom"))
+        .filter(key < F.col("_thr"))
+        .select(id_col, F.col(domain_col).alias("domain"))
+    )

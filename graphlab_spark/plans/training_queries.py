@@ -842,6 +842,33 @@ def t23(spark, sf):
 
 
 @q(
+    "t26_mixture_sample",
+    # t23's boost (ROUND 6 — the cross-engine contract) drives a
+    # per-domain md5 threshold computed in-plan: n = floor(min(1,
+    # 0.15*boost)*65536 + 0.5) → 4-hex string ('g' = keep-all)
+    "WITH ag AS (SELECT source AS domain, "
+    f" CAST(SUM({TS.TOKEN_COUNT_SQL}) AS BIGINT) AS n_tokens "
+    " FROM documents GROUP BY 1), "
+    "mx AS (SELECT domain, "
+    " ROUND((pow(n_tokens, 0.5) / SUM(pow(n_tokens, 0.5)) OVER ()) / "
+    "  (n_tokens / SUM(n_tokens) OVER ()), 6) AS boost FROM ag), "
+    "thr AS (SELECT domain, CASE WHEN n >= 65536 THEN 'g' "
+    " ELSE printf('%04x', n) END AS t FROM "
+    " (SELECT domain, CAST(floor(least(1.0, 0.15 * boost) * 65536 + 0.5)"
+    "  AS BIGINT) AS n FROM mx)) "
+    "SELECT d.doc_id, d.source AS domain FROM documents d "
+    "JOIN thr ON d.source = thr.domain "
+    "WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || ':s42'), 1, 4) < thr.t",
+    "temperature mixture APPLIED as a sample (rate_d = min(1, "
+    "0.15*boost_d)): boosts from one domains-sized partial agg, "
+    "thresholds broadcast, the sampling itself a scan-stage md5 filter "
+    "— no corpus shuffle",
+)
+def t26(spark, sf):
+    return SMP.mixture_sample(_t(spark, sf, "documents"), base_rate=0.15, alpha=0.5)
+
+
+@q(
     "t24_chunk_documents",
     # fixed-size overlapping token windows (64/stride 48): same starts
     # grid and 1-based inclusive slice on both engines
@@ -1485,6 +1512,7 @@ reorder_registry_last(
         "t04_fingerprint",
         "d01_exact_dup_groups",
         "d03_ngram_jaccard_pairs",
+        "t05_stratified_sample",
         "c11_salted_groupby",
         "d06_embedding_near_dup",
         "d02_exact_dedup_keepers",

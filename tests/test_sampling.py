@@ -156,3 +156,61 @@ def test_temperature_mixture_limits(spark):
     # hand-computed: w = (80, 20); sqrt = (8.944272, 4.472136) → 2/3, 1/3
     assert abs(ah["head"].mix_weight - 2 / 3) < 1e-5
     assert ah["head"].n_docs == 8 and ah["head"].n_tokens == 80
+
+
+def test_mixture_sample_tail_upsampled(spark):
+    from graphlab_spark.operators.sampling import (
+        mixture_sample,
+        rate_to_hex_threshold,
+        temperature_mixture,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mix = {r.domain: r for r in temperature_mixture(docs, alpha=0.5).collect()}
+    kept = mixture_sample(docs, base_rate=0.15, alpha=0.5)
+    counts = {r.domain: r.n for r in kept.groupBy("domain").agg(
+        __import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    totals = {r.domain: r.n for r in docs.groupBy(
+        __import__("pyspark").sql.functions.col("source").alias("domain")).agg(
+        __import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    # every sampled domain's empirical rate tracks min(1, 0.15*boost)
+    for d, m in mix.items():
+        want = min(1.0, 0.15 * m.boost)
+        got = counts.get(d, 0) / totals[d]
+        assert abs(got - want) < 0.12 + 2.0 / totals[d], (d, got, want)
+    # alpha<1 upsamples the tail: smallest domain's rate strictly above
+    # the raw base_rate, largest domain's at-or-below
+    small = min(mix, key=lambda d: mix[d].n_tokens)
+    big = max(mix, key=lambda d: mix[d].n_tokens)
+    assert min(1.0, 0.15 * mix[small].boost) > 0.15
+    assert min(1.0, 0.15 * mix[big].boost) <= 0.15
+
+
+def test_mixture_sample_is_stratified_sample_at_fixed_rates(spark):
+    # with the thresholds it computes, mixture_sample ≡ stratified_sample
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.operators.sampling import (
+        mixture_sample,
+        stratified_sample,
+        temperature_mixture,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mix = temperature_mixture(docs, alpha=0.5).collect()
+    # quantized rates: floor(r*65536+.5)/65536 is what the plan compares
+    rates = {
+        r.domain: int(min(1.0, 0.15 * r.boost) * 65536 + 0.5) / 65536
+        for r in mix
+    }
+    a = {
+        r.doc_id
+        for r in mixture_sample(docs, base_rate=0.15, alpha=0.5).collect()
+    }
+    b = {
+        r.doc_id
+        for r in stratified_sample(docs, rates, stratum_col="source")
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b

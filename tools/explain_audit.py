@@ -407,6 +407,17 @@ def main() -> None:
     ok_all &= check("a28 pivot no Python", "EvalPython" not in p)
     ok_all &= check("a28 pivot partial-aggregates", "partial_pivotfirst" in p or "partial_count" in p)
 
+    # 19a'''''''. t26 mixture sampling: thresholds broadcast (domains-
+    # sized), the corpus side filters in the scan stage — its only
+    # shuffle is t23's domain agg; no Python
+    p = plan_of(REGISTRY["t26_mixture_sample"].fn(spark, sf_dir))
+    ok_all &= check("t26 thresholds broadcast", "BroadcastHashJoin" in p or "BroadcastExchange" in p)
+    ok_all &= check(
+        "t26 corpus never hash-partitioned by doc",
+        "hashpartitioning(doc_id" not in p,
+    )
+    ok_all &= check("t26 no Python", "EvalPython" not in p)
+
     # 19a''''''. e09 resample: counts partial-aggregate (the e01
     # shuffle); the grid derives from a 1-row agg + explode, no Python
     p = plan_of(REGISTRY["e09_resampled_counts"].fn(spark, sf_dir))
