@@ -324,7 +324,9 @@ def cohort_retention(
     )
 
 
-def resample_counts(events: DataFrame, ts: str = "ts") -> DataFrame:
+def resample_counts(
+    events: DataFrame, ts: str = "ts", value_col: str | None = "value"
+) -> DataFrame:
     """Gap-filling hourly resample: the COMPLETE hour grid from the
     corpus min to max hour (inclusive), each bucket carrying its event
     count and value sum, empty buckets materialized as 0 — the
@@ -347,18 +349,50 @@ def resample_counts(events: DataFrame, ts: str = "ts") -> DataFrame:
             F.sequence("_mn", "_mx", F.expr("INTERVAL 1 HOUR"))
         ).alias("window_start")
     )
-    counts = (
-        events.groupBy(hour.alias("window_start"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("_sv"),
+    with_value = value_col is not None and value_col in events.columns
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if with_value:
+        aggs.append(F.sum(value_col).alias("_sv"))
+    counts = events.groupBy(hour.alias("window_start")).agg(*aggs)
+    cols = [
+        "window_start",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    ]
+    if with_value:
+        cols.append(
+            F.round(F.coalesce("_sv", F.lit(0.0)), 2).alias("sum_value")
         )
+    return grid.join(counts, "window_start", "left").select(*cols)
+
+
+def anomalous_hours(events: DataFrame, z: float = 2.0, ts: str = "ts") -> DataFrame:
+    """Hours whose event count deviates from the corpus mean by more
+    than ``z`` population standard deviations, over the GAP-FILLED
+    hourly grid (``resample_counts`` — zero-count hours are real
+    anomalies too, which a bare groupBy would never surface).
+
+    → (window_start, n_events, zscore) with zscore rounded to 4.
+
+    Scale shape: inherits e09's plan (partial-agg counts + 1-row-agg
+    grid); the mean/stddev come from ONE more aggregate over the
+    O(hours) grid frame, broadcast back — every post-count frame in the
+    plan is O(hours), so the anomaly scan costs nothing beyond the
+    rollup itself.
+    """
+    grid = resample_counts(events, ts=ts, value_col=None).select(
+        "window_start", "n_events"
+    )
+    stats = grid.agg(
+        F.avg("n_events").alias("_mu"),
+        F.stddev_pop("n_events").alias("_sd"),
     )
     return (
-        grid.join(counts, "window_start", "left")
-        .select(
-            "window_start",
-            F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            F.round(F.coalesce("_sv", F.lit(0.0)), 2).alias("sum_value"),
+        grid.crossJoin(F.broadcast(stats))
+        .filter(F.col("_sd") > 0)
+        .withColumn(
+            "zscore",
+            F.round((F.col("n_events") - F.col("_mu")) / F.col("_sd"), 4),
         )
+        .filter(F.abs((F.col("n_events") - F.col("_mu")) / F.col("_sd")) > z)
+        .select("window_start", "n_events", "zscore")
     )

@@ -246,3 +246,35 @@ def e09(spark, sf):
         "n_events",
         "sum_value",
     )
+
+
+@q(
+    "e10_anomalous_hours",
+    # z-score over the e09 gap-filled grid; stddev_pop + one cross-joined
+    # 1-row stats agg on both engines; the |z|>2 cut uses the UNROUNDED
+    # ratio on both sides, ROUND 4 only on the reported column
+    "WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS mn, "
+    "date_trunc('hour', MAX(ts)) AS mx FROM events), "
+    "g AS (SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) "
+    " AS ws FROM b WHERE mn IS NOT NULL), "
+    "c AS (SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n "
+    " FROM events GROUP BY 1), "
+    "grid AS (SELECT g.ws, COALESCE(n, 0) AS n FROM g LEFT JOIN c "
+    " ON g.ws = c.ws), "
+    "st AS (SELECT AVG(n) AS mu, stddev_pop(n) AS sd FROM grid) "
+    "SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "n AS n_events, ROUND((n - mu) / sd, 4) AS zscore "
+    "FROM grid, st WHERE sd > 0 AND abs((n - mu) / sd) > 2.0",
+    "hourly anomaly detection: |z| > 2 vs the corpus mean over the "
+    "gap-filled grid (zero-count hours surface too); every post-count "
+    "frame is O(hours), stats broadcast back from a 1-row agg",
+)
+def e10(spark, sf):
+    from pyspark.sql import functions as F
+
+    r = EV.anomalous_hours(_t(spark, sf, "events"), z=2.0)
+    return r.select(
+        F.date_format("window_start", EV.TS_FMT).alias("window_start"),
+        "n_events",
+        "zscore",
+    )

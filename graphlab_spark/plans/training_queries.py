@@ -1512,6 +1512,7 @@ reorder_registry_last(
         "t04_fingerprint",
         "d01_exact_dup_groups",
         "d03_ngram_jaccard_pairs",
+        "t07_winnowing_fp",
         "t05_stratified_sample",
         "c11_salted_groupby",
         "d06_embedding_near_dup",

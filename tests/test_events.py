@@ -224,3 +224,38 @@ def test_resample_empty_input(spark):
 
     ev = spark.createDataFrame([], "event_id long, ts timestamp, value double")
     assert resample_counts(ev).count() == 0
+
+
+def test_anomalous_hours_flags_spike_and_gap(spark):
+    import datetime as dt
+
+    from graphlab_spark.operators.events import anomalous_hours
+
+    # 12 hours: baseline 10 events/hour, hour 5 spikes to 60, hour 8
+    # empty (gap) — both must surface
+    rows = []
+    eid = 0
+    for h in range(12):
+        n = 60 if h == 5 else (0 if h == 8 else 10)
+        for _ in range(n):
+            rows.append((eid, dt.datetime(2024, 1, 1, h, 30)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {r.window_start.hour: r.zscore for r in anomalous_hours(ev, z=2.0).collect()}
+    assert 5 in got and got[5] > 2
+    assert set(got) == {5}  # z=2 on this series flags only the spike
+    got15 = {
+        r.window_start.hour: r.zscore
+        for r in anomalous_hours(ev, z=0.5).collect()
+    }
+    assert 8 in got15 and got15[8] < 0  # the empty hour at a looser cut
+
+
+def test_anomalous_hours_constant_series_empty(spark):
+    import datetime as dt
+
+    from graphlab_spark.operators.events import anomalous_hours
+
+    rows = [(i, dt.datetime(2024, 1, 1, i % 4, 0)) for i in range(8)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    assert anomalous_hours(ev).count() == 0  # sd == 0 → no anomalies

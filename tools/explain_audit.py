@@ -407,6 +407,13 @@ def main() -> None:
     ok_all &= check("a28 pivot no Python", "EvalPython" not in p)
     ok_all &= check("a28 pivot partial-aggregates", "partial_pivotfirst" in p or "partial_count" in p)
 
+    # 19a''''''''. e10 anomaly cut: inherits e09's shape; the stats
+    # frame comes back as a 1-row broadcast, no Python
+    p = plan_of(REGISTRY["e10_anomalous_hours"].fn(spark, sf_dir))
+    ok_all &= check("e10 anomaly stats broadcast back", "BroadcastNestedLoopJoin" in p)
+    ok_all &= check("e10 anomaly partial-agg counts", "partial_count" in p)
+    ok_all &= check("e10 anomaly no Python", "EvalPython" not in p)
+
     # 19a'''''''. t26 mixture sampling: thresholds broadcast (domains-
     # sized), the corpus side filters in the scan stage — its only
     # shuffle is t23's domain agg; no Python
