@@ -98,6 +98,30 @@ def main() -> None:
     ]
     pd.DataFrame(pmi_rows).to_parquet("fixtures/golden_comention.parquet", index=False)
 
+    # edge provenance: per canonical edge, distinct supporting docs and
+    # first/last crawl timestamp (the kept-record warc_ts per url)
+    ts_of = {url: recs[i]["warc_ts"] for url, i in latest.items()}
+    prov: dict[tuple, dict] = {}
+    for t in corpus.golden_triples_local(N_PAGES):
+        k = (t["subj_id"], t["pred"], t["obj_id"])
+        e = prov.setdefault(k, {"urls": set(), "ts": []})
+        e["urls"].add(t["url"])
+        e["ts"].append(ts_of[t["url"]])
+    prov_rows = [
+        {
+            "src": k[0],
+            "pred": k[1],
+            "dst": k[2],
+            "n_docs": len(v["urls"]),
+            "first_seen": min(v["ts"]).strftime("%Y-%m-%d %H:%M:%S"),
+            "last_seen": max(v["ts"]).strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        for k, v in sorted(prov.items())
+    ]
+    pd.DataFrame(prov_rows).to_parquet(
+        "fixtures/golden_edge_prov.parquet", index=False
+    )
+
     print(
         f"froze {len(text_rows)} texts, "
         f"{len(corpus.golden_triples_local(N_PAGES))} triples, "

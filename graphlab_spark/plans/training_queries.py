@@ -1429,6 +1429,44 @@ def kg_path2(spark, sf):
 
 
 @q(
+    "kg_edge_provenance",
+    f"SELECT src, pred, dst, n_docs, first_seen, last_seen "
+    f"FROM '{REPO_FIXTURES}/golden_edge_prov.parquet'",
+    "per-edge provenance: distinct supporting docs + first/last crawl "
+    "timestamp per canonical edge (temporal-KG lineage — when a fact "
+    "entered the graph and how well attested it is); one partial-agg "
+    "groupBy on the edge key, doc timestamps joined on url (the same "
+    "key the triples already carry); live vs frozen golden",
+)
+def kg_edge_prov(spark, sf):
+    res = _kg_pipeline(spark)
+    triples, em, docs = res["triples"], res["entity_map"], res["docs"]
+    t = (
+        triples.join(em.withColumnRenamed("surface", "subj"), "subj")
+        .withColumnRenamed("entity_id", "subj_id")
+        .join(em.withColumnRenamed("surface", "obj"), "obj")
+        .withColumnRenamed("entity_id", "obj_id")
+    )
+    return (
+        t.join(docs.select("url", "warc_ts"), "url")
+        .groupBy(
+            F.col("subj_id").alias("src"),
+            "pred",
+            F.col("obj_id").alias("dst"),
+        )
+        .agg(
+            F.count_distinct("url").alias("n_docs"),
+            F.date_format(F.min("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_seen"
+            ),
+            F.date_format(F.max("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_seen"
+            ),
+        )
+    )
+
+
+@q(
     "kg_comention_pmi",
     f"SELECT key_a, key_b, n_ij, pmi FROM '{REPO_FIXTURES}/golden_comention.parquet'",
     "entity co-mention PMI over distinct per-doc normalized mention keys "
@@ -1512,6 +1550,7 @@ reorder_registry_last(
         "t04_fingerprint",
         "d01_exact_dup_groups",
         "d03_ngram_jaccard_pairs",
+        "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",
         "c11_salted_groupby",

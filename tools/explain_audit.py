@@ -432,6 +432,12 @@ def main() -> None:
     ok_all &= check("e09 resample grid via explode", "Generate explode" in p or "Generate" in p)
     ok_all &= check("e09 resample no Python", "EvalPython" not in p)
 
+    # 19a'''''''''. kg edge provenance: one partial-agg groupBy on the
+    # edge key; the docs join keys on url (already the triples' key)
+    p = plan_of(REGISTRY["kg_edge_provenance"].fn(spark, sf_dir))
+    ok_all &= check("kg_edge_prov partial-agg", "partial_min" in p or "partial_count" in p)
+    ok_all &= check("kg_edge_prov no CartesianProduct", "CartesianProduct" not in p)
+
     # 19a'''''. kg 2-hop motif: predicate filters reach the scan side
     # of the join (Filter before Exchange), single mid-keyed join, no
     # cartesian
