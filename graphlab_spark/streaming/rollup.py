@@ -140,3 +140,23 @@ def start_windowed_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked per-user SESSION-window plan (append mode): the
+    streaming twin of :func:`operators.events.sessionize` (batch oracle:
+    e02) — same ``F.session_window`` operator, so merge semantics are
+    identical by construction (inclusive gap boundary, session_end =
+    last ts + gap). A session finalizes exactly once, when the watermark
+    passes its end; state per (user, open session) expires with the
+    watermark — the state store never grows with history, only with
+    concurrently-open sessions. Same TIMESTAMP cast caveat as
+    :func:`windowed_counts_stream`."""
+    from graphlab_spark.operators.events import sessionize
+
+    ltz = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sessionize(ltz.withWatermark("ts", watermark), gap)

@@ -236,3 +236,59 @@ def test_sliding_stream_finalizes_overlapping_windows(spark, tmp_path):
         "2024-01-01 00:00:00",
     ]
     assert all(n == 1 and sv == 1.0 for (w, et, n, sv) in got if et == "click")
+
+
+def test_session_stream_finalizes_and_drops_late(spark, tmp_path):
+    from graphlab_spark.operators.events import sessionize
+    from graphlab_spark.streaming.rollup import sessionize_stream
+
+    in_dir, ckpt = str(tmp_path / "sess"), str(tmp_path / "sckpt")
+    os.makedirs(in_dir)
+
+    def _write(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def _run(name):
+        emit = str(tmp_path / f"emit_{name}")
+
+        def sink(df, _bid):
+            if not df.isEmpty():
+                df.write.mode("append").parquet(emit)
+
+        q = (
+            sessionize_stream(read_events_stream(spark, in_dir))
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        if not os.path.exists(emit):
+            return set()
+        return {tuple(r) for r in spark.read.parquet(emit).collect()}
+
+    on_time = [
+        (0, T0 + dt.timedelta(minutes=0), 1, "click", 1.0, "{}"),
+        (1, T0 + dt.timedelta(minutes=10), 1, "click", 2.0, "{}"),
+        # watermark advancer: 02:00 - 30m = 01:30 > user-1 session end
+        (2, T0 + dt.timedelta(minutes=120), 9, "view", 1.0, "{}"),
+    ]
+    _write(on_time)
+    out1 = _run("sess_run1")
+    # user-1 session finalized exactly as the batch operator computes it
+    batch = {
+        tuple(r)
+        for r in sessionize(spark.createDataFrame(on_time, SCHEMA)).collect()
+        if r.user_id == 1
+    }
+    assert batch <= out1
+    assert ("2024-01-01 00:00:00" in {s for _, s, *_ in out1})
+    # user-9's session is still open (watermark has not passed its end)
+    assert not any(u == 9 for u, *_ in out1)
+
+    # a row older than the watermark must be dropped, not re-open the
+    # finalized session
+    _write([(3, T0 + dt.timedelta(minutes=5), 1, "click", 50.0, "{}")])
+    out2 = _run("sess_run2")
+    assert not any(u == 1 for u, *_ in out2)
