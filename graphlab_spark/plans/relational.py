@@ -478,6 +478,29 @@ def a28(spark, sf):
     return piv.na.fill(0, _PIVOT_TYPES)
 
 
+@q(
+    "a29_cube_subtotals",
+    # GROUP BY CUBE: the full 2^k grouping lattice (adds the per-status
+    # marginals ROLLUP omits); same Expand-before-exchange plan as a27
+    "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "
+    "ROUND(sum(l_quantity), 2) AS sum_qty "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+    "full-lattice subtotal aggregation (OLAP CUBE, 2^k grouping sets): "
+    "the lattice expands map-side before ONE partial-aggregated "
+    "exchange of O(cells) — registered parked (a27 carries the recorded "
+    "Expand-plan gate; this stays check_oracles/orphan-gated)",
+)
+def a29(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
 # -------------------------------------------------- headline bench queries
 
 @q(

@@ -53,6 +53,7 @@ def test_cap_split_is_intentional():
         "t04_fingerprint",
         "d01_exact_dup_groups",
         "d03_ngram_jaccard_pairs",
+        "a29_cube_subtotals",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",
