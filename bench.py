@@ -147,7 +147,9 @@ def main() -> None:
     # Lee-et-al duplicated-substring spans: the corpus-wide k-gram
     # shuffle is the dominant cost — same planted frame as the dedup
     # lines so the numbers share an input
-    timed("dup_spans", lambda: _count(DD.duplicate_spans(planted, k=8)))
+    # hash_grams=True is the production/100-TB path (gram shuffles as a
+    # 64-bit hash, not its text); pytest pins hashed ≡ text output
+    timed("dup_spans", lambda: _count(DD.duplicate_spans(planted, k=8, hash_grams=True)))
     # as-of join over the events table (union + running-window plan)
     timed(
         "asof_join",

@@ -485,6 +485,7 @@ def duplicate_spans(
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Exact duplicated-substring spans, Lee-et-al.-style ("Deduplicating
     Training Data Makes Language Models Better", which removes any
@@ -503,8 +504,10 @@ def duplicate_spans(
        before the exchange. At 100 TB, shuffle ``xxhash64(gram)`` (16
        bytes/row) instead of gram text — a 64-bit collision marking a
        unique span duplicated is noise at Lee et al.'s own error bar
-       (they hash, too). The oracled form here shuffles the text itself
-       so the DuckDB mirror is exact;
+       (they hash, too). ``hash_grams=True`` IS that path — the gram
+       shuffles as a single xxhash64 long instead of its text (pytest
+       pins hashed ≡ text output on the planted corpus). The oracled
+       form keeps the text so the DuckDB mirror is exact;
     3. left-semi back to positions, then merge overlapping/adjacent
        windows per doc into maximal spans with the classic
        gaps-and-islands running ``max(pos + k)`` window — keyed by doc,
@@ -526,9 +529,10 @@ def duplicate_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:long,gram:string>>"))
+    gram_col = F.xxhash64("pg.gram") if hash_grams else F.col("pg.gram")
     g = (
         docs.select(F.col(id_col), F.explode(pos_grams).alias("pg"))
-        .select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+        .select(id_col, F.col("pg.pos").alias("pos"), gram_col.alias("gram"))
     )
     dup = (
         g.groupBy("gram")
@@ -563,6 +567,7 @@ def cut_duplicate_spans(
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Apply Lee et al.'s REMOVAL policy to :func:`duplicate_spans`:
     cut every duplicated span's tokens out of each doc →
@@ -577,7 +582,7 @@ def cut_duplicate_spans(
     any span — all JVM, no Python, no extra corpus shuffle beyond the
     doc-keyed span join.
     """
-    spans = duplicate_spans(docs, k, id_col, text_col)
+    spans = duplicate_spans(docs, k, id_col, text_col, hash_grams=hash_grams)
     sp = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
     )

@@ -107,3 +107,14 @@ def test_cut_spans_fully_covered_doc_empties(spark):
     for d in (1, 2):
         assert got[d].clean_text == ""
         assert (got[d].n_tokens_kept, got[d].n_tokens_removed) == (0, 12)
+
+
+def test_hashed_grams_equal_text_grams(spark):
+    from graphlab_spark.operators.dedup import duplicate_spans, with_planted_near_dups
+
+    docs = with_planted_near_dups(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    a = sorted(map(tuple, duplicate_spans(docs, k=8).collect()))
+    b = sorted(map(tuple, duplicate_spans(docs, k=8, hash_grams=True).collect()))
+    assert a == b
