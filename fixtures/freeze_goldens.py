@@ -122,6 +122,28 @@ def main() -> None:
         "fixtures/golden_edge_prov.parquet", index=False
     )
 
+    # node provenance: per canonical TRIPLE-PARTICIPATING entity,
+    # distinct supporting docs and first/last crawl timestamp (same
+    # ts_of contract as edge provenance)
+    nprov: dict[str, dict] = {}
+    for t in corpus.golden_triples_local(N_PAGES):
+        for ent in (t["subj_id"], t["obj_id"]):
+            e = nprov.setdefault(ent, {"urls": set(), "ts": []})
+            e["urls"].add(t["url"])
+            e["ts"].append(ts_of[t["url"]])
+    nprov_rows = [
+        {
+            "entity_id": ent,
+            "n_docs": len(v["urls"]),
+            "first_seen": min(v["ts"]).strftime("%Y-%m-%d %H:%M:%S"),
+            "last_seen": max(v["ts"]).strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        for ent, v in sorted(nprov.items())
+    ]
+    pd.DataFrame(nprov_rows).to_parquet(
+        "fixtures/golden_node_prov.parquet", index=False
+    )
+
     print(
         f"froze {len(text_rows)} texts, "
         f"{len(corpus.golden_triples_local(N_PAGES))} triples, "

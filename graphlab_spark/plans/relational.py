@@ -501,6 +501,32 @@ def a29(spark, sf):
     )
 
 
+@q(
+    "a30_semi_join_exists",
+    # EXISTS-correlated subquery as an explicit LEFT SEMI join: orders
+    # with at least one near-full-quantity lineitem
+    "SELECT o.o_orderkey, o.o_orderstatus, ROUND(o.o_totalprice, 2) AS total "
+    "FROM orders o WHERE EXISTS (SELECT 1 FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)",
+    "correlated-EXISTS pattern (the service layer's 'has any matching "
+    "child' check) as a LEFT SEMI join: the filter pushes to the "
+    "lineitem scan BEFORE the join, the semi join never duplicates or "
+    "widens the orders side — registered parked (a15 carries the "
+    "recorded anti-join twin)",
+)
+def a30(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        _t(spark, sf, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
 # -------------------------------------------------- headline bench queries
 
 @q(

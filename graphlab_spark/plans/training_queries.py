@@ -1467,6 +1467,45 @@ def kg_edge_prov(spark, sf):
 
 
 @q(
+    "kg_node_provenance",
+    f"SELECT entity_id, n_docs, first_seen, last_seen "
+    f"FROM '{REPO_FIXTURES}/golden_node_prov.parquet'",
+    "per-entity provenance over triple-participating canonical "
+    "entities: distinct supporting docs + first/last crawl timestamp "
+    "(when an entity entered the graph); the subj/obj union stays "
+    "url-keyed into the docs join, one partial-agg groupBy on "
+    "entity_id; live vs frozen golden (registered parked — edge "
+    "provenance carries the recorded gate for this family)",
+)
+def kg_node_prov(spark, sf):
+    res = _kg_pipeline(spark)
+    triples, em, docs = res["triples"], res["entity_map"], res["docs"]
+    t = (
+        triples.join(em.withColumnRenamed("surface", "subj"), "subj")
+        .withColumnRenamed("entity_id", "subj_id")
+        .join(em.withColumnRenamed("surface", "obj"), "obj")
+        .withColumnRenamed("entity_id", "obj_id")
+    )
+    ent = (
+        t.select("url", F.col("subj_id").alias("entity_id"))
+        .unionByName(t.select("url", F.col("obj_id").alias("entity_id")))
+    )
+    return (
+        ent.join(docs.select("url", "warc_ts"), "url")
+        .groupBy("entity_id")
+        .agg(
+            F.count_distinct("url").alias("n_docs"),
+            F.date_format(F.min("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_seen"
+            ),
+            F.date_format(F.max("warc_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_seen"
+            ),
+        )
+    )
+
+
+@q(
     "kg_comention_pmi",
     f"SELECT key_a, key_b, n_ij, pmi FROM '{REPO_FIXTURES}/golden_comention.parquet'",
     "entity co-mention PMI over distinct per-doc normalized mention keys "
@@ -1551,6 +1590,8 @@ reorder_registry_last(
         "d01_exact_dup_groups",
         "d03_ngram_jaccard_pairs",
         "a29_cube_subtotals",
+        "a30_semi_join_exists",
+        "kg_node_provenance",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",

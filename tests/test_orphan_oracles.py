@@ -54,6 +54,8 @@ def test_cap_split_is_intentional():
         "d01_exact_dup_groups",
         "d03_ngram_jaccard_pairs",
         "a29_cube_subtotals",
+        "a30_semi_join_exists",
+        "kg_node_provenance",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",
@@ -91,9 +93,11 @@ def test_cap_split_is_intentional():
     assert {n for n in beyond if n in oracles} <= parked_oracled
     # and every in-cap entry is oracled (no wasted driver rows)
     assert all(n in oracles for n in names[:DRIVER_CAP])
-    # the kg north-star gates all sit inside the recorded window
+    # the kg north-star gates all sit inside the recorded window —
+    # except ones EXPLICITLY parked above (kg_node_provenance: edge
+    # provenance carries this family's recorded gate)
     kg_oracled = {n for n in names if n.startswith("kg_") and n in oracles}
-    assert kg_oracled <= set(names[:DRIVER_CAP])
+    assert kg_oracled - parked_oracled <= set(names[:DRIVER_CAP])
 
 
 @pytest.mark.parametrize("name", _beyond_cap())
