@@ -141,12 +141,10 @@ def e06(spark, sf):
 
 _FUNNEL = ["signup", "view", "click", "purchase"]
 
-
-@q(
-    "e07_funnel_stages",
-    # greedy earliest-chain funnel: stage i = MIN ts of its type
-    # at-or-after stage i-1's matched ts — the same chain of
-    # conditional MIN aggregations on both engines
+# greedy earliest-chain funnel CTEs: stage i = MIN ts of its type
+# at-or-after stage i-1's matched ts — the same chain of conditional
+# MIN aggregations on both engines; shared by e07 and e11
+_FUNNEL_CTE = (
     "WITH u AS (SELECT DISTINCT user_id FROM events), "
     "s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
     " WHERE event_type = 'signup' GROUP BY 1), "
@@ -159,18 +157,30 @@ _FUNNEL = ["signup", "view", "click", "purchase"]
     "s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e "
     " JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.t3 "
     " WHERE e.event_type = 'purchase' GROUP BY 1) "
-    "SELECT u.user_id, "
+)
+_FUNNEL_JOINED = (
+    "FROM u LEFT JOIN s1 ON u.user_id = s1.user_id "
+    "LEFT JOIN s2 ON u.user_id = s2.user_id "
+    "LEFT JOIN s3 ON u.user_id = s3.user_id "
+    "LEFT JOIN s4 ON u.user_id = s4.user_id"
+)
+_STAGE_CASE = (
     "CAST(CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3 "
     " WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 "
-    " ELSE 0 END AS BIGINT) AS stage_reached, "
+    " ELSE 0 END AS BIGINT)"
+)
+
+
+@q(
+    "e07_funnel_stages",
+    _FUNNEL_CTE +
+    "SELECT u.user_id, " +
+    _STAGE_CASE + " AS stage_reached, "
     "strftime(t1, '%Y-%m-%d %H:%M:%S') AS t_signup, "
     "strftime(t2, '%Y-%m-%d %H:%M:%S') AS t_view, "
     "strftime(t3, '%Y-%m-%d %H:%M:%S') AS t_click, "
     "strftime(t4, '%Y-%m-%d %H:%M:%S') AS t_purchase "
-    "FROM u LEFT JOIN s1 ON u.user_id = s1.user_id "
-    "LEFT JOIN s2 ON u.user_id = s2.user_id "
-    "LEFT JOIN s3 ON u.user_id = s3.user_id "
-    "LEFT JOIN s4 ON u.user_id = s4.user_id",
+    + _FUNNEL_JOINED,
     "ordered event funnel (signup -> view -> click -> purchase): greedy "
     "earliest-chain per user; one conditional-MIN agg + left join per "
     "stage, all keyed on user_id so co-partitioning is reused end-to-end",
@@ -277,4 +287,38 @@ def e10(spark, sf):
         F.date_format("window_start", EV.TS_FMT).alias("window_start"),
         "n_events",
         "zscore",
+    )
+
+
+@q(
+    "e11_funnel_summary",
+    # conversion report over the e07 chain: exact + cumulative counts
+    # per stage; the running-sum window runs over a ≤(stages+1)-row frame
+    _FUNNEL_CTE
+    + "SELECT stage_reached, COUNT(*) AS n_exact, "
+    "CAST(SUM(COUNT(*)) OVER (ORDER BY stage_reached DESC "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    " AS n_at_least "
+    f"FROM (SELECT {_STAGE_CASE} AS stage_reached {_FUNNEL_JOINED}) "
+    "GROUP BY 1",
+    "funnel conversion report: users per exact stage + cumulative "
+    "users reaching at least each stage; the heavy work is e07's "
+    "user_id-keyed chain, the summary agg partial-aggregates to a "
+    "(stages+1)-row frame where the running-sum window is free — "
+    "registered parked (e07 carries the recorded funnel gate)",
+)
+def e11(spark, sf):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    j = EV.funnel_stages(_t(spark, sf, "events"), _FUNNEL)
+    per = j.groupBy("stage_reached").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = (
+        Window.orderBy(F.col("stage_reached").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "stage_reached",
+        "n_exact",
+        F.sum("n_exact").over(w).alias("n_at_least"),
     )

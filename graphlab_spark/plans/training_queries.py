@@ -1591,6 +1591,7 @@ reorder_registry_last(
         "d03_ngram_jaccard_pairs",
         "a29_cube_subtotals",
         "a30_semi_join_exists",
+        "e11_funnel_summary",
         "kg_node_provenance",
         "t06_token_budget_packing",
         "t07_winnowing_fp",

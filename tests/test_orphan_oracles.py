@@ -55,6 +55,7 @@ def test_cap_split_is_intentional():
         "d03_ngram_jaccard_pairs",
         "a29_cube_subtotals",
         "a30_semi_join_exists",
+        "e11_funnel_summary",
         "kg_node_provenance",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
