@@ -396,3 +396,53 @@ def anomalous_hours(events: DataFrame, z: float = 2.0, ts: str = "ts") -> DataFr
         .filter(F.abs((F.col("n_events") - F.col("_mu")) / F.col("_sd")) > z)
         .select("window_start", "n_events", "zscore")
     )
+
+
+def interval_counts(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    id_col: str = "interval_id",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+) -> DataFrame:
+    """Range-containment join: count events with ``start <= ts < end``
+    per interval → (id_col, start_col, end_col, n_events), zero-count
+    intervals included. The operation a naive plan turns into a
+    BroadcastNestedLoopJoin over an inequality predicate — quadratic at
+    scale.
+
+    Scale shape — the BINNED range join: each interval explodes to its
+    overlapping hour bins (fan-out bounded by interval length), each
+    event maps to ONE bin (a scan-stage column), and the join becomes an
+    EQUI-join on the bin key with the exact range predicate as a
+    residual filter. Cost is O(events + intervals · hours-per-interval)
+    through one hash join — never events × intervals. Bin width should
+    roughly match typical interval length; hours fit the events corpus.
+    """
+    sec = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731  (UTC session)
+    bins = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(sec(start_col) / 3600),
+                F.floor((sec(end_col) - 1) / 3600),
+            )
+        ),
+    )
+    hits = (
+        events.withColumn("_bin", F.floor(sec(ts) / 3600))
+        .join(bins, "_bin")
+        .filter((F.col(ts) >= F.col(start_col)) & (F.col(ts) < F.col(end_col)))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        intervals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            start_col,
+            end_col,
+            F.coalesce("_n", F.lit(0)).alias("n_events"),
+        )
+    )

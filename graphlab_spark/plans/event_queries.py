@@ -322,3 +322,55 @@ def e11(spark, sf):
         "n_exact",
         F.sum("n_exact").over(w).alias("n_at_least"),
     )
+
+
+@q(
+    "e12_interval_range_join",
+    # 10 synthetic intervals derived from the corpus min hour (start =
+    # mn + i*71h, length = (i%5)+1 hours); DuckDB executes the range
+    # join natively (IEJoin), Spark runs the BINNED equi-join plan —
+    # identical results is exactly the point
+    "WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS mn FROM events), "
+    "iv AS (SELECT i AS interval_id, "
+    " mn + i * INTERVAL 71 HOUR AS t_start, "
+    " mn + i * INTERVAL 71 HOUR + ((i % 5) + 1) * INTERVAL 1 HOUR "
+    "  AS t_end "
+    " FROM b, UNNEST(generate_series(0, 9)) AS t(i)), "
+    "c AS (SELECT iv.interval_id, COUNT(*) AS n FROM iv JOIN events e "
+    " ON e.ts >= iv.t_start AND e.ts < iv.t_end GROUP BY 1) "
+    "SELECT iv.interval_id, "
+    "strftime(t_start, '%Y-%m-%d %H:%M:%S') AS t_start, "
+    "strftime(t_end, '%Y-%m-%d %H:%M:%S') AS t_end, "
+    "COALESCE(n, 0) AS n_events "
+    "FROM iv LEFT JOIN c USING (interval_id)",
+    "interval-containment range join via hour-bin equi-join: intervals "
+    "explode to their overlapping bins (fan-out = interval length), "
+    "events map to ONE bin in the scan, the range predicate is a "
+    "residual filter after a plain hash join — O(events + "
+    "intervals*bins), never events x intervals; zero-count intervals "
+    "kept",
+)
+def e12(spark, sf):
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf, "events")
+    b = ev.agg(F.date_trunc("hour", F.min("ts")).alias("_mn"))
+    iv = b.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("interval_id"), "_mn"
+    ).select(
+        "interval_id",
+        F.expr("_mn + make_interval(0, 0, 0, 0, interval_id * 71, 0, 0)").alias(
+            "t_start"
+        ),
+        F.expr(
+            "_mn + make_interval(0, 0, 0, 0, "
+            "interval_id * 71 + (interval_id % 5) + 1, 0, 0)"
+        ).alias("t_end"),
+    )
+    r = EV.interval_counts(ev, iv)
+    return r.select(
+        "interval_id",
+        F.date_format("t_start", EV.TS_FMT).alias("t_start"),
+        F.date_format("t_end", EV.TS_FMT).alias("t_end"),
+        "n_events",
+    )

@@ -1592,6 +1592,7 @@ reorder_registry_last(
         "a29_cube_subtotals",
         "a30_semi_join_exists",
         "e11_funnel_summary",
+        "e12_interval_range_join",
         "kg_node_provenance",
         "t06_token_budget_packing",
         "t07_winnowing_fp",

@@ -259,3 +259,30 @@ def test_anomalous_hours_constant_series_empty(spark):
     rows = [(i, dt.datetime(2024, 1, 1, i % 4, 0)) for i in range(8)]
     ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
     assert anomalous_hours(ev).count() == 0  # sd == 0 → no anomalies
+
+
+def test_interval_counts_binned_range_join(spark):
+    import datetime as dt
+
+    from graphlab_spark.operators.events import interval_counts
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0)),   # == start (inclusive)
+            (2, dt.datetime(2024, 1, 1, 11, 59)),  # inside
+            (3, dt.datetime(2024, 1, 1, 12, 0)),   # == end (exclusive)
+            (4, dt.datetime(2024, 1, 2, 5, 30)),   # inside second
+            (5, dt.datetime(2024, 1, 3, 0, 0)),    # outside all
+        ],
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 1, 12, 0)),
+            (1, dt.datetime(2024, 1, 2, 5, 0), dt.datetime(2024, 1, 2, 6, 0)),
+            (2, dt.datetime(2024, 1, 4, 0, 0), dt.datetime(2024, 1, 4, 1, 0)),
+        ],
+        "interval_id long, t_start timestamp, t_end timestamp",
+    )
+    got = {r.interval_id: r.n_events for r in interval_counts(ev, iv).collect()}
+    assert got == {0: 2, 1: 1, 2: 0}  # inclusive start, exclusive end, zero kept

@@ -407,6 +407,17 @@ def main() -> None:
     ok_all &= check("a28 pivot no Python", "EvalPython" not in p)
     ok_all &= check("a28 pivot partial-aggregates", "partial_pivotfirst" in p or "partial_count" in p)
 
+    # 19a'''''''''. e12 binned range join: the containment predicate
+    # must run as a residual after a hash EQUI-join on the bin key —
+    # never a nested-loop over the inequality
+    p = plan_of(REGISTRY["e12_interval_range_join"].fn(spark, sf_dir))
+    ok_all &= check("e12 range join no CartesianProduct", "CartesianProduct" not in p)
+    ok_all &= check(
+        "e12 range join is a hash equi-join on the bin",
+        ("BroadcastHashJoin" in p or "SortMergeJoin" in p) and "_bin" in p,
+    )
+    ok_all &= check("e12 range join no Python", "EvalPython" not in p)
+
     # 19a''''''''. e10 anomaly cut: inherits e09's shape; the stats
     # frame comes back as a 1-row broadcast, no Python
     p = plan_of(REGISTRY["e10_anomalous_hours"].fn(spark, sf_dir))
