@@ -1523,6 +1523,36 @@ def kg_comention(spark, sf):
     return comention_pmi(dk)
 
 
+@q(
+    "kg_negative_samples",
+    # identical md5-mod arithmetic both engines (the winnowing/t05
+    # portability pattern): 48-bit hex prefix is exact in BIGINT
+    "WITH e AS (SELECT DISTINCT subj_id AS src, pred, obj_id AS dst "
+    f"FROM '{REPO_FIXTURES}/golden_triples.parquet'), "
+    "v0 AS (SELECT src AS id FROM e UNION SELECT dst FROM e), "
+    "v AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS idx FROM v0), "
+    "c AS (SELECT e.src, e.pred, e.dst, CAST(j AS INTEGER) AS j, "
+    "CAST(('0x' || substr(md5(e.src || '|' || e.pred || '|' || e.dst || '|' "
+    "|| CAST(j AS VARCHAR) || '|neg'), 1, 12)) AS BIGINT) "
+    "% (SELECT count(*) FROM v) AS cand_idx "
+    "FROM e CROSS JOIN generate_series(1, 2) AS t(j)), "
+    "n AS (SELECT c.src, c.pred, c.dst, c.j, v.id AS neg_dst "
+    "FROM c JOIN v ON v.idx = c.cand_idx) "
+    "SELECT src, pred, dst, j, neg_dst FROM n WHERE neg_dst != dst "
+    "AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = n.src "
+    "AND e.pred = n.pred AND e.dst = n.neg_dst)",
+    "link-prediction training negatives: k=2 deterministic corrupted "
+    "tails per live canonical edge (TransE-style, hash-chosen via a dense "
+    "vocabulary index — equi-join shaped, anti-joined against true edges, "
+    "never all-pairs); live pipeline edges vs the frozen golden set",
+)
+def kg_negatives(spark, sf):
+    from graphlab_spark.operators.negatives import corrupt_tail_negatives
+
+    edges = _kg_pipeline(spark)["edges"].select("src", "pred", "dst")
+    return corrupt_tail_negatives(edges, k=2)
+
+
 _BM25_TERMS = ["spark", "dup", "vector"]  # dup is rare → real idf spread
 _BM25_TF = ", ".join(
     f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
@@ -1594,6 +1624,7 @@ reorder_registry_last(
         "e11_funnel_summary",
         "e12_interval_range_join",
         "kg_node_provenance",
+        "kg_negative_samples",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",
