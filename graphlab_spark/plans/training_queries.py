@@ -1553,6 +1553,39 @@ def kg_negatives(spark, sf):
     return corrupt_tail_negatives(edges, k=2)
 
 
+# two deterministic crawl snapshots derived from the frozen golden text:
+# urls whose md5 starts 'f' exist only in the NEW crawl (added), 'e' only
+# in the OLD (removed), '0' have edited text (changed), rest unchanged
+_CRAWL_OLD_PRED = "substr(md5(url), 1, 1) != 'f'"
+_CRAWL_NEW_PRED = "substr(md5(url), 1, 1) != 'e'"
+_CRAWL_EDIT = "CASE WHEN substr(md5(url), 1, 1) = '0' THEN text || ' v2' ELSE text END"
+
+
+@q(
+    "c15_crawl_delta",
+    f"WITH g AS (SELECT url, text FROM '{REPO_FIXTURES}/golden_text.parquet'), "
+    f"o AS (SELECT url, text FROM g WHERE {_CRAWL_OLD_PRED}), "
+    f"n AS (SELECT url, {_CRAWL_EDIT} AS text FROM g WHERE {_CRAWL_NEW_PRED}), "
+    "j AS (SELECT coalesce(o.url, n.url) AS url, o.url IS NOT NULL AS in_o, "
+    "n.url IS NOT NULL AS in_n, md5(o.text) AS om, md5(n.text) AS nm "
+    "FROM o FULL OUTER JOIN n ON o.url = n.url) "
+    "SELECT url, CASE WHEN NOT in_o THEN 'added' WHEN NOT in_n THEN 'removed' "
+    "WHEN om IS NOT DISTINCT FROM nm THEN 'unchanged' ELSE 'changed' END AS status "
+    "FROM j",
+    "crawl-snapshot delta (incremental ingest driver): per-url "
+    "added/removed/changed/unchanged between two crawls; content hashed "
+    "map-side so the one full-outer-join shuffle carries (url, 32-hex), "
+    "never page bodies",
+)
+def c15(spark, sf):
+    from graphlab_spark.operators.crawldiff import crawl_delta
+
+    g = spark.read.parquet(f"{REPO_FIXTURES}/golden_text.parquet").select("url", "text")
+    old = g.filter(F.expr(_CRAWL_OLD_PRED))
+    new = g.filter(F.expr(_CRAWL_NEW_PRED)).withColumn("text", F.expr(_CRAWL_EDIT))
+    return crawl_delta(old, new)
+
+
 _BM25_TERMS = ["spark", "dup", "vector"]  # dup is rare → real idf spread
 _BM25_TF = ", ".join(
     f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
@@ -1625,6 +1658,7 @@ reorder_registry_last(
         "e12_interval_range_join",
         "kg_node_provenance",
         "kg_negative_samples",
+        "c15_crawl_delta",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",

@@ -59,6 +59,7 @@ def test_cap_split_is_intentional():
         "e12_interval_range_join",
         "kg_node_provenance",
         "kg_negative_samples",
+        "c15_crawl_delta",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",
