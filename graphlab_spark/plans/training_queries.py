@@ -1586,6 +1586,64 @@ def c15(spark, sf):
     return crawl_delta(old, new)
 
 
+# deterministic-walk oracle: 3 steps unrolled; argmin via the portable
+# fixed-width trick min(md5_hex || dst) with substr(·,33) recovering dst
+# (md5 hex is exactly 32 chars — min_by would tie-break arbitrarily)
+def _walk_sql(length: int = 3, salt: str = "walk") -> str:
+    parts = [
+        "WITH e AS (SELECT DISTINCT subj_id AS src, obj_id AS dst "
+        f"FROM '{REPO_FIXTURES}/golden_triples.parquet'), "
+        "n0 AS (SELECT node AS walk_id, node FROM "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e))"
+    ]
+    prev = "n0"
+    for step in range(1, length + 1):
+        parts.append(
+            f", s{step} AS (SELECT walk_id, "
+            f"substr(min(md5(node || '|{step}|' || dst || '|{salt}') || dst), 33) "
+            f"AS node FROM {prev} JOIN e ON {prev}.node = e.src GROUP BY walk_id)"
+        )
+        prev = f"s{step}"
+    selects = ["SELECT walk_id, CAST(0 AS INTEGER) AS pos, node FROM n0"] + [
+        f"SELECT walk_id, CAST({s} AS INTEGER) AS pos, node FROM s{s}"
+        for s in range(1, length + 1)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+@q(
+    "kg_random_walks",
+    _walk_sql(3),
+    "DeepWalk-style embedding sampler: deterministic hash-argmin walks "
+    "(one per start node, 3 steps) over the live canonical edges — per "
+    "step ONE frontier⋈adjacency equi-join + partial-agg min, never a "
+    "walk-set window; live pipeline edges vs the frozen golden set",
+)
+def kg_walks(spark, sf):
+    from graphlab_spark.operators.walks import deterministic_walks
+
+    edges = _kg_pipeline(spark)["edges"].select("src", "pred", "dst")
+    return deterministic_walks(edges, length=3)
+
+
+@q(
+    "kg_skipgram_pairs",
+    f"WITH w AS ({_walk_sql(3)}) "
+    "SELECT DISTINCT a.node AS center, b.node AS context "
+    "FROM w a JOIN w b ON a.walk_id = b.walk_id "
+    "AND abs(a.pos - b.pos) <= 2 AND a.pos != b.pos",
+    "skip-gram positives from the deterministic walks (window 2): "
+    "self-join keyed on walk_id, fan-out bounded by walk length × window "
+    "— with kg_negative_samples this is the full KG-embedding training "
+    "pair surface",
+)
+def kg_skipgram(spark, sf):
+    from graphlab_spark.operators.walks import deterministic_walks, skipgram_pairs
+
+    edges = _kg_pipeline(spark)["edges"].select("src", "pred", "dst")
+    return skipgram_pairs(deterministic_walks(edges, length=3), window=2)
+
+
 _BM25_TERMS = ["spark", "dup", "vector"]  # dup is rare → real idf spread
 _BM25_TF = ", ".join(
     f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
@@ -1659,6 +1717,8 @@ reorder_registry_last(
         "kg_node_provenance",
         "kg_negative_samples",
         "c15_crawl_delta",
+        "kg_random_walks",
+        "kg_skipgram_pairs",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",

@@ -60,6 +60,8 @@ def test_cap_split_is_intentional():
         "kg_node_provenance",
         "kg_negative_samples",
         "c15_crawl_delta",
+        "kg_random_walks",
+        "kg_skipgram_pairs",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",
