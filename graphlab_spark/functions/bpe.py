@@ -7,6 +7,15 @@ words. This module provides:
   trainer (greedy most-frequent-pair, ties broken lexicographically).
   Run once over the synthetic corpus by ``fixtures/freeze_goldens.py``;
   the merges table is committed at ``fixtures/bpe_merges.parquet``.
+- :func:`train_merges_distributed` — the same trainer at corpus scale:
+  the ONLY corpus-sized pass is a pure-JVM word-frequency aggregation
+  (lower + regexp_extract_all + explode + groupBy, one shuffle, partial
+  agg map-side); the greedy merge loop then runs over the collected
+  word-frequency table, which is VOCABULARY-sized (Heaps' law — and
+  hard-bounded by ``min_count``/``max_words``), never corpus-sized.
+  This is the standard tokenizer-training shape (HuggingFace trainers
+  do exactly this split); with no truncation it is bit-identical to
+  :func:`train_merges` on the same texts.
 - :func:`bpe_count_col` — an Arrow-batched pandas UDF applying the
   frozen merges. The merges list is tiny (hundreds of rows) and ships
   inside the UDF closure — the broadcast-small-dictionary pattern; the
@@ -25,7 +34,7 @@ from collections import Counter
 from typing import Iterable, Sequence
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # lowercase word / digit-run / punctuation-run pre-tokens (GPT-2-style
@@ -48,6 +57,12 @@ def train_merges(texts: Iterable[str], n_merges: int = 200) -> list[tuple[str, s
     for t in texts:
         if t:
             word_freq.update(pretokenize(t))
+    return _merge_loop(word_freq, n_merges)
+
+
+def _merge_loop(word_freq: Counter, n_merges: int) -> list[tuple[str, str]]:
+    """The greedy merge loop over a (word → frequency) table. Cost is
+    O(n_merges × distinct words) — independent of corpus size."""
     seqs: dict[str, tuple[str, ...]] = {w: tuple(w) for w in word_freq}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -77,6 +92,57 @@ def train_merges(texts: Iterable[str], n_merges: int = 200) -> list[tuple[str, s
                     i += 1
             seqs[w] = tuple(out)
     return merges
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) frequency table of pre-tokens across the corpus —
+    the one corpus-scale pass of distributed BPE training, entirely
+    JVM-side: ``lower`` + ``regexp_extract_all`` + ``explode`` inside
+    whole-stage codegen, then ONE groupBy shuffle with map-side partial
+    aggregation, so the shuffle carries (word, partial-count) rows, not
+    token occurrences. No Python touches corpus rows.
+
+    The Java pattern mirrors ``_PRETOKEN_RE`` exactly; both engines use
+    leftmost-first alternation and ``lower`` agrees on the pipeline's
+    NFC-normalized input (functions.normalize is the upstream stage)."""
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"), F.lit(0)
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_merges_distributed(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    min_count: int = 1,
+    max_words: int | None = None,
+) -> list[tuple[str, str]]:
+    """Corpus-scale BPE training: distributed :func:`word_counts`, then
+    the driver-side :func:`_merge_loop` over the vocabulary table.
+
+    The collect is VOCABULARY-sized, not corpus-sized — and bounded
+    explicitly: ``min_count`` drops hapax junk (at web scale almost all
+    distinct "words" are frequency-1 noise), ``max_words`` keeps the
+    top-K by (count desc, word asc) via a top-K sort (TakeOrdered —
+    never a global sort). With ``min_count=1`` and no cap this is
+    bit-identical to :func:`train_merges` over the same texts (pinned
+    in tests/test_bpe.py); with truncation it is the standard trainer
+    approximation every production tokenizer makes."""
+    wc = word_counts(df, text_col)
+    if min_count > 1:
+        wc = wc.where(F.col("cnt") >= min_count)
+    if max_words is not None:
+        wc = wc.orderBy(F.col("cnt").desc(), F.col("word")).limit(max_words)
+    word_freq: Counter[str] = Counter()
+    for r in wc.collect():
+        word_freq[r["word"]] = r["cnt"]
+    return _merge_loop(word_freq, n_merges)
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -15,6 +15,8 @@ from graphlab_spark.functions.bpe import (
     load_merges,
     pretokenize,
     train_merges,
+    train_merges_distributed,
+    word_counts,
 )
 
 TOY = ["low low low low low", "lower lower", "newest newest newest"]
@@ -50,6 +52,58 @@ def test_frozen_merges_fixture_stable():
     merges = load_merges("/root/repo/fixtures/bpe_merges.parquet")
     texts = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")["text"].tolist()
     assert train_merges(texts, n_merges=200) == merges
+
+
+def test_word_counts_jvm_matches_python(spark):
+    """The JVM regexp_extract_all pre-tokenizer agrees token-for-token
+    with the Python ``pretokenize`` it mirrors — including digit runs,
+    punctuation runs, case folding, and NULL/empty rows."""
+    from collections import Counter
+
+    texts = [
+        "low low LOWER 42!",
+        "a--b 007 c?!d",
+        "",
+        None,
+        "Tabs\tand\nnewlines are separators; commas, too.",
+    ]
+    expected = Counter()
+    for t in texts:
+        if t:
+            expected.update(pretokenize(t))
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r["word"]: r["cnt"] for r in word_counts(df).collect()}
+    assert got == dict(expected)
+
+
+def test_train_merges_distributed_equals_local(spark):
+    """No-truncation distributed training is bit-identical to the local
+    trainer on the sf0.001 corpus (the fixture-freezing equivalence)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r.text for r in docs.select("text").collect()]
+    local = train_merges(texts, n_merges=80)
+    dist = train_merges_distributed(docs, n_merges=80)
+    assert dist == local
+
+
+def test_train_merges_distributed_truncation(spark):
+    """min_count / max_words bound the driver-side vocabulary exactly:
+    the distributed result equals the local merge loop over the same
+    truncated frequency table."""
+    from collections import Counter
+
+    from graphlab_spark.functions.bpe import _merge_loop
+
+    df = spark.createDataFrame([(t,) for t in TOY], "text string")
+    full = Counter()
+    for t in TOY:
+        full.update(pretokenize(t))
+    # min_count=3 drops 'lower' (freq 2)
+    kept = Counter({w: c for w, c in full.items() if c >= 3})
+    assert train_merges_distributed(df, n_merges=5, min_count=3) == _merge_loop(kept, 5)
+    # max_words=1 keeps only the most frequent word ('low', freq 5)
+    top1 = Counter({"low": 5})
+    assert train_merges_distributed(df, n_merges=5, max_words=1) == _merge_loop(top1, 5)
 
 
 def test_bpe_count_col_matches_golden(spark):
