@@ -172,6 +172,56 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return seq
 
 
+def merged_ids(merges: Sequence[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic id space (GPT-2-byte-level flavored): single chars
+    with codepoint < 256 keep their codepoint as id; the i-th merge's
+    product gets id 256+i; anything else (non-Latin-1 chars — rare
+    after upstream NFC normalization) maps to UNK = 256+len(merges)."""
+    return {a + b: 256 + i for i, (a, b) in enumerate(merges)}
+
+
+def encode_ids(
+    text: str | None,
+    ranks: dict[tuple[str, str], int],
+    mids: dict[str, int],
+    unk_id: int,
+    cache: dict[str, list[str]] | None = None,
+) -> list[int]:
+    """Token-id sequence of ``text`` under the frozen merges — the
+    payload a training shard actually carries (counts are its length)."""
+    if not text:
+        return []
+    cache = cache if cache is not None else {}
+    ids: list[int] = []
+    for w in pretokenize(text):
+        toks = cache.get(w)
+        if toks is None:
+            toks = cache[w] = encode_word(w, ranks)
+        for t in toks:
+            if len(t) == 1:
+                o = ord(t)
+                ids.append(o if o < 256 else unk_id)
+            else:
+                ids.append(mids.get(t, unk_id))
+    return ids
+
+
+def bpe_ids_col(merges: Sequence[tuple[str, str]], text_col: str = "text") -> Column:
+    """Column: ``array<int>`` token ids of ``text_col`` under the frozen
+    merges — same Arrow-batched UDF + per-batch distinct-word cache as
+    :func:`bpe_count_col`; ``size()`` of this column equals that count."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    mids = merged_ids(merges)
+    unk_id = 256 + len(merges)
+
+    @F.pandas_udf("array<int>")
+    def _ids(s: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+        return s.map(lambda t: encode_ids(t, ranks, mids, unk_id, cache))
+
+    return _ids(F.col(text_col))
+
+
 def count_tokens(text: str | None, ranks: dict[tuple[str, str], int],
                  cache: dict[str, int] | None = None) -> int:
     if not text:

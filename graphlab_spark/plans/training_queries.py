@@ -599,6 +599,38 @@ def t12(spark, sf):
 
 
 @q(
+    "t27_bpe_token_ids",
+    # Full token-ID sequences (not just counts) under the frozen merges
+    # — the payload a training shard actually carries. Golden id
+    # sequences are frozen '-'-joined and keyed by md5(text) (the t12
+    # pattern); the live Spark side encodes with bpe_ids_col and joins
+    # the ids into the same string, so an id-scheme bug (codepoint ids,
+    # 256+rank merge ids, UNK) or any apply-order bug breaks the hash.
+    # Parked past the recorded cap BY DESIGN: t12 carries the BPE
+    # family's recorded driver gate; this is orphan-gated.
+    "SELECT d.doc_id, f.ids_str FROM documents d "
+    f"JOIN '{REPO_FIXTURES}/golden_bpe_ids.parquet' f "
+    "ON md5(d.text) = f.text_md5 WHERE d.doc_id < 400",
+    "BPE token-ID encoding (byte-level-style id space) for training "
+    "shard export; size(ids) == t12's count by construction",
+)
+def t27(spark, sf):
+    from graphlab_spark.functions.bpe import bpe_ids_col, load_merges
+
+    merges = load_merges(f"{REPO_FIXTURES}/bpe_merges.parquet")
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(bpe_ids_col(merges), lambda x: x.cast("string")), "-"
+            ).alias("ids_str"),
+        )
+    )
+
+
+@q(
     "t13_url_canonical",
     # Expected canonicalization stated BY CONSTRUCTION: the Spark side
     # synthesizes messy urls (upper-case scheme/host, default ports,
@@ -1719,6 +1751,7 @@ reorder_registry_last(
         "c15_crawl_delta",
         "kg_random_walks",
         "kg_skipgram_pairs",
+        "t27_bpe_token_ids",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",

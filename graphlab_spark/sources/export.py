@@ -27,18 +27,26 @@ def export_training_shards(
     budget_tokens: int = 4096,
     id_col: str = "doc_id",
     text_col: str = "text",
+    count_col: str | None = None,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Write ``{out_dir}``/bucket=*/chunk_id=*/part-*.json shards; each
-    line is ``{"doc_id": ..., "n_tokens": ..., "text": ...}``. Returns
-    the shard manifest frame (bucket, chunk_id, n_docs, n_tokens) —
-    vocabulary-small, the thing a training job's sampler reads first."""
-    assigned = pack_shards(docs, budget_tokens=budget_tokens, id_col=id_col).join(
-        docs.select(id_col, text_col), id_col
-    )
+    line is ``{"doc_id": ..., "n_tokens": ..., "text": ...}`` plus any
+    ``extra_cols`` from ``docs`` (e.g. a pre-tokenized ``token_ids``
+    array from ``bpe_ids_col`` — then shards are consumable without a
+    tokenizer at load time, with ``count_col`` its exact size so the
+    budget is on true subword counts). Returns the shard manifest frame
+    (bucket, chunk_id, n_docs, n_tokens) — vocabulary-small, the thing
+    a training job's sampler reads first."""
+    extra = list(extra_cols or [])
+    pack_kw = {"count_col": count_col} if count_col else {}
+    assigned = pack_shards(
+        docs, budget_tokens=budget_tokens, id_col=id_col, **pack_kw
+    ).join(docs.select(id_col, text_col, *extra), id_col)
     (
         assigned.repartition("bucket", "chunk_id")
         .sortWithinPartitions(id_col)
-        .select(id_col, "bucket", "chunk_id", "n_tokens", text_col)
+        .select(id_col, "bucket", "chunk_id", "n_tokens", text_col, *extra)
         .write.mode("overwrite")
         .partitionBy("bucket", "chunk_id")
         .json(out_dir)

@@ -125,6 +125,48 @@ def test_bpe_count_col_matches_golden(spark):
         assert r.n == expected[h], f"doc {r.doc_id}"
 
 
+def test_encode_ids_scheme():
+    """Id space: single chars keep their codepoint, merge i → 256+i,
+    non-Latin-1 → UNK; sequence length == count_tokens."""
+    from graphlab_spark.functions.bpe import encode_ids, merged_ids
+
+    merges = train_merges(TOY, n_merges=5)
+    ranks = {m: i for i, m in enumerate(merges)}
+    mids = merged_ids(merges)
+    unk = 256 + len(merges)
+    # 'low' is merge #1's product ('lo'+'w') → id 257; '!' → ord('!')
+    assert encode_ids("low!", ranks, mids, unk) == [257, ord("!")]
+    # 'est' = merge #4 ('es'+'t') → 260; 'x' stays a char id
+    assert encode_ids("lowest x", ranks, mids, unk) == [257, 260, ord("x")]
+    # non-Latin-1 char → UNK
+    assert encode_ids("€", ranks, mids, unk) == [unk]
+    assert encode_ids(None, ranks, mids, unk) == []
+    for t in ["Lowest, lowest 42!", "low lower newest"]:
+        assert len(encode_ids(t, ranks, mids, unk)) == count_tokens(t, ranks)
+
+
+def test_bpe_ids_col_matches_python(spark):
+    """The Spark array<int> column equals the pure-Python encoder and
+    its size equals bpe_count_col row-for-row."""
+    from graphlab_spark.functions.bpe import bpe_ids_col, encode_ids, merged_ids
+
+    merges = load_merges("/root/repo/fixtures/bpe_merges.parquet")
+    ranks = {m: i for i, m in enumerate(merges)}
+    mids = merged_ids(merges)
+    unk = 256 + len(merges)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    got = docs.select(
+        "doc_id", "text", bpe_ids_col(merges).alias("ids"),
+        bpe_count_col(merges).alias("n"),
+    ).collect()
+    assert len(got) == 100
+    for r in got:
+        assert list(r.ids) == encode_ids(r.text, ranks, mids, unk)
+        assert len(r.ids) == r.n
+
+
 def test_pack_shards_accepts_bpe_counts(spark):
     from graphlab_spark.operators.sampling import pack_shards
 

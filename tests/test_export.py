@@ -46,3 +46,35 @@ def test_export_shards_roundtrip_and_budget(spark, tmp_path):
     with open(sample) as fh:
         row = json.loads(fh.readline())
     assert set(row) == {"doc_id", "n_tokens", "text"}
+
+
+def test_export_shards_with_token_ids(spark, tmp_path):
+    """Pre-tokenized export: shards carry the BPE token-id arrays, the
+    budget runs on exact subword counts, and every exported line's
+    n_tokens equals len(token_ids)."""
+    from graphlab_spark.functions.bpe import bpe_count_col, bpe_ids_col, load_merges
+
+    merges = load_merges("/root/repo/fixtures/bpe_merges.parquet")
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            "text",
+            bpe_ids_col(merges).alias("token_ids"),
+            bpe_count_col(merges).alias("n_bpe"),
+        )
+    )
+    out = str(tmp_path / "shards_ids")
+    manifest = export_training_shards(
+        docs, out, budget_tokens=400, count_col="n_bpe", extra_cols=["token_ids"]
+    )
+    assert manifest.count() > 1
+
+    back = spark.read.json(out)
+    assert back.count() == 200
+    rows = back.collect()
+    assert all(r.n_tokens == len(r.token_ids) for r in rows)
+    # ids round-trip exactly (JSON arrays of ints)
+    want = {r.doc_id: list(r.token_ids) for r in docs.collect()}
+    assert all([int(x) for x in r.token_ids] == want[r.doc_id] for r in rows)

@@ -62,6 +62,7 @@ def test_cap_split_is_intentional():
         "c15_crawl_delta",
         "kg_random_walks",
         "kg_skipgram_pairs",
+        "t27_bpe_token_ids",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",
