@@ -631,6 +631,44 @@ def t27(spark, sf):
 
 
 @q(
+    "t28_quality_classifier",
+    # Learned (fastText-style) quality classifier: frozen hashed-BoW
+    # logistic weights, INTEGER-quantized so scoring is exact integer
+    # arithmetic in both engines — score_q = bias_q·n + Σ w_q[bucket],
+    # bucket = md5-12-hex % 4096 (the winnowing/t05 portability
+    # pattern). The oracle replays the identical arithmetic in DuckDB
+    # over the same weights parquet; a hashing, join, or aggregation
+    # bug breaks the hash. Parked past the recorded cap BY DESIGN (the
+    # learned-filter family's recorded gate this round is t18
+    # perplexity); orphan-gated.
+    "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    r"'[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS word "
+    "FROM documents WHERE doc_id < 400), "
+    "b AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 12)) AS BIGINT) "
+    "% 4096 AS bucket FROM toks), "
+    f"wt AS (SELECT * FROM '{REPO_FIXTURES}/qc_weights.parquet'), "
+    "s AS (SELECT b.doc_id, count(*) AS n, COALESCE(SUM(wt.w_q), 0) AS sw "
+    "FROM b LEFT JOIN wt ON wt.bucket = b.bucket GROUP BY b.doc_id), "
+    "bias AS (SELECT w_q AS bq FROM wt WHERE bucket = -1) "
+    "SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS INTEGER) AS n_tokens, "
+    "CAST((SELECT bq FROM bias) * COALESCE(s.n, 0) + COALESCE(s.sw, 0) "
+    "AS BIGINT) AS score_q, "
+    "((SELECT bq FROM bias) * COALESCE(s.n, 0) + COALESCE(s.sw, 0)) > 0 AS keep "
+    "FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id WHERE d.doc_id < 400",
+    "learned quality classifier at scale: broadcast quantized weights, "
+    "JVM tokenize+hash, one partial-agg doc shuffle; complements the "
+    "Gopher rules (t02) and LM perplexity (t18)",
+)
+def t28(spark, sf):
+    from graphlab_spark.operators.qclassify import classifier_scores
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    return classifier_scores(
+        spark, docs, f"{REPO_FIXTURES}/qc_weights.parquet"
+    )
+
+
+@q(
     "t13_url_canonical",
     # Expected canonicalization stated BY CONSTRUCTION: the Spark side
     # synthesizes messy urls (upper-case scheme/host, default ports,
@@ -1752,6 +1790,7 @@ reorder_registry_last(
         "kg_random_walks",
         "kg_skipgram_pairs",
         "t27_bpe_token_ids",
+        "t28_quality_classifier",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",
