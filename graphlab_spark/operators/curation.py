@@ -26,12 +26,17 @@ def curation_funnel(
     quality_threshold: int = 500,
     per_domain: int = 20,
     domain_col: str = "source",
+    classifier_weights: str | None = None,
 ) -> DataFrame:
-    """Run quality-gate → exact-dedup → domain-quota over ``docs``
-    (doc_id, text, ``domain_col``) and return the 4-row funnel report
-    (stage, docs, tokens) with tokens = whitespace token mass.
-    Deterministic end to end: the dedup keeper is min doc_id, the quota
-    tie-break is doc_id asc."""
+    """Run quality-gate → [learned classifier] → exact-dedup →
+    domain-quota over ``docs`` (doc_id, text, ``domain_col``) and
+    return the funnel report (stage, docs, tokens) with tokens =
+    whitespace token mass. ``classifier_weights``: path to a frozen
+    quantized model (operators.qclassify) to insert as stage 2b — the
+    rule-then-model ordering every production recipe uses (cheap JVM
+    rules first, the model only on survivors). Deterministic end to
+    end: the dedup keeper is min doc_id, the quota tie-break is doc_id
+    asc."""
     from graphlab_spark.functions.textstats import quality_score_col
     from graphlab_spark.operators.dedup import exact_dedup
     from graphlab_spark.operators.sampling import domain_quota
@@ -45,14 +50,19 @@ def curation_funnel(
         ).select(F.lit(stage).alias("stage"), "docs", "tokens")
 
     s2 = docs.filter(quality_score_col() >= quality_threshold)
+    out = report(docs, "1_total").unionByName(report(s2, "2_quality_gate"))
+    if classifier_weights is not None:
+        from graphlab_spark.operators.qclassify import classifier_filter
+
+        s2 = classifier_filter(s2.sparkSession, s2, classifier_weights)
+        out = out.unionByName(report(s2, "2b_learned_filter"))
     s3 = exact_dedup(s2)
     s4 = s3.join(
         domain_quota(s3, per_domain, domain_col=domain_col).select("doc_id"),
         "doc_id",
     )
     return (
-        report(docs, "1_total")
-        .unionByName(report(s2, "2_quality_gate"))
+        out
         .unionByName(report(s3, "3_exact_dedup"))
         .unionByName(report(s4, "4_domain_quota"))
     )

@@ -57,3 +57,26 @@ def test_funnel_monotone_on_testdata(spark):
     for (d0, t0), (d1, t1) in zip(vals, vals[1:]):
         assert d1 <= d0 and t1 <= t0
     assert 0 < vals[1][0] < vals[0][0]  # threshold actually splits
+
+
+def test_funnel_with_learned_filter(spark):
+    """classifier_weights inserts stage 2b between the rule gate and
+    dedup; the funnel stays monotone and 2b equals classifier_filter's
+    own survivor count over the stage-2 survivors."""
+    from graphlab_spark.functions.textstats import quality_score_col
+    from graphlab_spark.operators.curation import curation_funnel
+    from graphlab_spark.operators.qclassify import classifier_filter
+    from pyspark.sql import functions as F
+
+    weights = "/root/repo/fixtures/qc_weights.parquet"
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    got = {
+        r.stage: (r.docs, r.tokens)
+        for r in curation_funnel(docs, classifier_weights=weights).collect()
+    }
+    assert "2b_learned_filter" in got
+    vals = [got[s] for s in sorted(got)]
+    for (d0, t0), (d1, t1) in zip(vals, vals[1:]):
+        assert d1 <= d0 and t1 <= t0
+    s2 = docs.filter(quality_score_col() >= 500)
+    assert got["2b_learned_filter"][0] == classifier_filter(spark, s2, weights).count()
