@@ -51,6 +51,54 @@ def crawl_delta(
     )
 
 
+def graph_delta(
+    old: DataFrame,
+    new: DataFrame,
+    keys: tuple[str, ...] = ("src", "pred", "dst"),
+    weight: str = "n_docs",
+) -> DataFrame:
+    """The KG-level twin of :func:`crawl_delta`: classify each EDGE
+    across two graph snapshots → ``(*keys, w_old, w_new, status)``.
+
+    After each monthly re-crawl the pipeline republishes nodes/edges;
+    the product a KG consumer actually wants alongside the new graph is
+    its diff — which facts appeared, disappeared, or changed support.
+    ``added``/``removed`` by edge-key presence; ``changed``/
+    ``unchanged`` by the ``weight`` column (e.g. ``n_docs`` supporting
+    the edge) under the null-safe ``<=>``.
+
+    Scale shape: identical to crawl_delta — ONE hash full-outer join on
+    the composite edge key carrying two small weight columns; no
+    window, no sort, no driver sync. Works on any keyed snapshot pair
+    (nodes too: ``keys=("id",), weight="n_mentions"``)."""
+    ks = list(keys)
+    o = old.select(
+        *ks, F.col(weight).alias("w_old"), F.lit(1).alias("_in_old")
+    )
+    n = new.select(
+        *ks, F.col(weight).alias("w_new"), F.lit(1).alias("_in_new")
+    )
+    return (
+        o.join(n, ks, "full_outer")
+        .select(
+            *ks,
+            "w_old",
+            "w_new",
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(F.col("w_old").eqNullSafe(F.col("w_new")), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )
+
+
+def graph_delta_summary(delta: DataFrame) -> DataFrame:
+    """(status, n_edges) — the 4-row report a graph build publishes
+    with each snapshot; one partial-aggregated groupBy on 4 keys."""
+    return delta.groupBy("status").agg(F.count(F.lit(1)).alias("n_edges"))
+
+
 def changed_or_added(
     old: DataFrame, new: DataFrame, key: str = "url", content: str = "text"
 ) -> DataFrame:

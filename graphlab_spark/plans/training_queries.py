@@ -1656,6 +1656,53 @@ def c15(spark, sf):
     return crawl_delta(old, new)
 
 
+# two deterministic EDGE snapshots derived from the frozen golden edge
+# provenance (the c15 construction lifted to the graph): edges whose
+# composite-key md5 starts 'f' exist only in the NEW snapshot, 'e' only
+# in the OLD, '0' gained a supporting doc (changed), rest unchanged
+_EDGE_HEX = "substr(md5(src || '|' || pred || '|' || dst), 1, 1)"
+
+
+@q(
+    "kg_graph_delta",
+    # Parked past the recorded cap BY DESIGN: c15 carries the
+    # snapshot-delta family's recorded driver gate; orphan-gated.
+    "WITH g AS (SELECT src, pred, dst, n_docs, "
+    f"{_EDGE_HEX} AS h FROM '{REPO_FIXTURES}/golden_edge_prov.parquet'), "
+    "o AS (SELECT src, pred, dst, n_docs FROM g WHERE h != 'f'), "
+    "n AS (SELECT src, pred, dst, "
+    "CASE WHEN h = '0' THEN n_docs + 1 ELSE n_docs END AS n_docs "
+    "FROM g WHERE h != 'e') "
+    "SELECT coalesce(o.src, n.src) AS src, coalesce(o.pred, n.pred) AS pred, "
+    "coalesce(o.dst, n.dst) AS dst, o.n_docs AS w_old, n.n_docs AS w_new, "
+    "CASE WHEN o.src IS NULL THEN 'added' WHEN n.src IS NULL THEN 'removed' "
+    "WHEN o.n_docs = n.n_docs THEN 'unchanged' ELSE 'changed' END AS status "
+    "FROM o FULL OUTER JOIN n "
+    "ON o.src = n.src AND o.pred = n.pred AND o.dst = n.dst",
+    "KG snapshot delta: per-edge added/removed/changed/unchanged "
+    "between two published graphs — ONE hash full-outer join on the "
+    "composite edge key carrying two small weight columns; the report "
+    "a monthly re-crawl publishes alongside the new graph",
+)
+def kg_gdelta(spark, sf):
+    from graphlab_spark.operators.crawldiff import graph_delta
+
+    g = spark.read.parquet(f"{REPO_FIXTURES}/golden_edge_prov.parquet").select(
+        "src", "pred", "dst", "n_docs",
+        F.expr(_EDGE_HEX).alias("h"),
+    )
+    old = g.filter(F.col("h") != "f").drop("h")
+    new = (
+        g.filter(F.col("h") != "e")
+        .withColumn(
+            "n_docs",
+            F.when(F.col("h") == "0", F.col("n_docs") + 1).otherwise(F.col("n_docs")),
+        )
+        .drop("h")
+    )
+    return graph_delta(old, new)
+
+
 # deterministic-walk oracle: 3 steps unrolled; argmin via the portable
 # fixed-width trick min(md5_hex || dst) with substr(·,33) recovering dst
 # (md5 hex is exactly 32 chars — min_by would tie-break arbitrarily)
@@ -1787,6 +1834,7 @@ reorder_registry_last(
         "kg_node_provenance",
         "kg_negative_samples",
         "c15_crawl_delta",
+        "kg_graph_delta",
         "kg_random_walks",
         "kg_skipgram_pairs",
         "t27_bpe_token_ids",

@@ -70,3 +70,63 @@ def test_crawl_delta_shuffles_hashes_not_bodies(spark):
     )
     assert "md5" in plan
     assert "CartesianProduct" not in plan
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "src string, pred string, dst string, n_docs long"
+    )
+
+
+def test_graph_delta_all_statuses(spark):
+    from graphlab_spark.operators.crawldiff import graph_delta, graph_delta_summary
+
+    old = _edges(
+        spark,
+        [
+            ("a", "p", "b", 3),   # unchanged
+            ("a", "p", "c", 2),   # changed (weight 2 → 5)
+            ("x", "q", "y", 1),   # removed
+        ],
+    )
+    new = _edges(
+        spark,
+        [
+            ("a", "p", "b", 3),
+            ("a", "p", "c", 5),
+            ("n", "r", "m", 7),   # added
+        ],
+    )
+    got = {
+        (r.src, r.pred, r.dst): (r.w_old, r.w_new, r.status)
+        for r in graph_delta(old, new).collect()
+    }
+    assert got == {
+        ("a", "p", "b"): (3, 3, "unchanged"),
+        ("a", "p", "c"): (2, 5, "changed"),
+        ("x", "q", "y"): (1, None, "removed"),
+        ("n", "r", "m"): (None, 7, "added"),
+    }
+    summary = {r.status: r.n_edges for r in graph_delta_summary(graph_delta(old, new)).collect()}
+    assert summary == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_graph_delta_null_weights_null_safe(spark):
+    from graphlab_spark.operators.crawldiff import graph_delta
+
+    old = _edges(spark, [("a", "p", "b", None), ("a", "p", "c", None)])
+    new = _edges(spark, [("a", "p", "b", None), ("a", "p", "c", 4)])
+    got = {(r.src, r.pred, r.dst): r.status for r in graph_delta(old, new).collect()}
+    # NULL <=> NULL is unchanged; NULL vs value is changed — presence is
+    # tracked by markers, never by weight nullness
+    assert got == {("a", "p", "b"): "unchanged", ("a", "p", "c"): "changed"}
+
+
+def test_graph_delta_single_join_no_cartesian(spark):
+    from graphlab_spark.operators.crawldiff import graph_delta
+
+    old = _edges(spark, [("a", "p", "b", 1)])
+    new = _edges(spark, [("a", "p", "b", 1)])
+    plan = graph_delta(old, new)._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") == 1
