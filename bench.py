@@ -142,6 +142,17 @@ def main() -> None:
         ),
     )
     timed("curation_funnel", lambda: _count(curation_funnel(docs)))
+    # learned quality classifier: broadcast quantized weights + JVM
+    # tokenize/hash + one partial-agg doc shuffle — the per-doc scoring
+    # cost every curation recipe pays on the full crawl
+    from graphlab_spark.operators.qclassify import classifier_scores
+
+    timed(
+        "quality_classifier",
+        lambda: _count(
+            classifier_scores(spark, docs, f"{fixdir}/qc_weights.parquet")
+        ),
+    )
     cent = spark.read.parquet(f"{fixdir}/semdedup_centroids.parquet")
     timed("semantic_dedup", lambda: _count(semantic_dedup(embs, cent)))
     # Lee-et-al duplicated-substring spans: the corpus-wide k-gram

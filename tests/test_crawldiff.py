@@ -130,3 +130,50 @@ def test_graph_delta_single_join_no_cartesian(spark):
     plan = graph_delta(old, new)._jdf.queryExecution().optimizedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("Join") == 1
+
+
+def test_apply_graph_delta_reproduces_new_snapshot(spark, tmp_path):
+    """old table + graph_delta(old, new) == new, exactly — the O(delta)
+    incremental-republication contract; idempotent on re-apply."""
+    from graphlab_spark.operators.crawldiff import graph_delta
+    from graphlab_spark.operators.materialize import apply_graph_delta
+
+    old = _edges(
+        spark,
+        [("a", "p", "b", 3), ("a", "p", "c", 2), ("x", "q", "y", 1)],
+    )
+    new = _edges(
+        spark,
+        [("a", "p", "b", 3), ("a", "p", "c", 5), ("n", "r", "m", 7)],
+    )
+    path = str(tmp_path / "edges")
+    old.write.parquet(path)
+    delta = graph_delta(old, new)
+
+    def snap(df):
+        return sorted((r.src, r.pred, r.dst, r.n_docs) for r in df.collect())
+
+    got = apply_graph_delta(spark, path, delta)
+    assert snap(got) == snap(new)
+    # re-applying the same delta is a no-op (idempotent republication)
+    again = apply_graph_delta(spark, path, delta)
+    assert snap(again) == snap(new)
+
+
+def test_merge_apply_delta_sql_statement():
+    from graphlab_spark.operators.materialize import merge_apply_delta_sql
+
+    sql = merge_apply_delta_sql("kg.edges", "delta_v", ["src", "pred", "dst"], "n_docs")
+    assert sql == (
+        "MERGE INTO kg.edges t USING delta_v s "
+        "ON t.src = s.src AND t.pred = s.pred AND t.dst = s.dst "
+        "WHEN MATCHED AND s.status = 'removed' THEN DELETE "
+        "WHEN MATCHED AND s.status = 'changed' THEN UPDATE SET t.n_docs = s.w_new "
+        "WHEN NOT MATCHED AND s.status = 'added' THEN INSERT "
+        "(src, pred, dst, n_docs) VALUES (s.src, s.pred, s.dst, s.w_new)"
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_apply_delta_sql("kg.edges; DROP", "v", ["src"], "w")
