@@ -484,6 +484,37 @@ def main() -> None:
     )
     ok_all &= check("t23 no Python in the row path", "EvalPython" not in p)
 
+    # 20. t28 learned classifier: weights broadcast (never shuffled),
+    # doc aggregate partial-aggregates map-side, zero Python anywhere
+    p = plan_of(REGISTRY["t28_quality_classifier"].fn(spark, sf_dir))
+    ok_all &= check("t28 weights BroadcastHashJoin", "BroadcastHashJoin" in p)
+    ok_all &= check("t28 doc agg partial-aggregates", "partial_count" in p)
+    ok_all &= check("t28 no Python in the row path", "EvalPython" not in p)
+    ok_all &= check("t28 no CartesianProduct", "CartesianProduct" not in p)
+
+    # 20a. kg_graph_delta: ONE full-outer hash join on the composite
+    # edge key — no sort-merge fallback surprises audited here, just no
+    # cartesian and no Python
+    p = plan_of(REGISTRY["kg_graph_delta"].fn(spark, sf_dir))
+    ok_all &= check("kg_graph_delta FullOuter hash/SMJ join", "FullOuter" in p)
+    ok_all &= check("kg_graph_delta no CartesianProduct", "CartesianProduct" not in p)
+    ok_all &= check("kg_graph_delta no Python", "EvalPython" not in p)
+
+    # 20b. distributed BPE word counts: corpus pass is JVM-only with a
+    # map-side partial count before the single word shuffle
+    from graphlab_spark.functions.bpe import word_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(word_counts(docs))
+    ok_all &= check("bpe word_counts partial-aggregates map-side", "partial_count" in p)
+    ok_all &= check("bpe word_counts no Python on corpus rows", "EvalPython" not in p)
+    import re as _re
+
+    ok_all &= check(
+        "bpe word_counts single exchange",
+        len(_re.findall(r"^\(\d+\) Exchange", p, _re.M)) == 1,
+    )
+
     print("\nAUDIT", "PASS" if ok_all else "HAS WARNINGS")
     sys.exit(0 if ok_all else 1)
 
