@@ -497,3 +497,49 @@ def two_hop_paths(
         F.col("src").alias("mid"), F.col("dst")
     ).distinct()
     return a.join(b, "mid").select("src", "mid", "dst").distinct()
+
+
+def adjacency_lists(
+    edges: DataFrame,
+    n_shards: int = 64,
+    max_neighbors: int | None = None,
+) -> DataFrame:
+    """Sharded adjacency-list layout → ``(shard, src, degree,
+    neighbors)`` with ``neighbors`` the '|'-joined SORTED distinct
+    out-neighbor list — the CSR-ish table a GNN neighbor sampler or a
+    serving tier reads (one shard = one sampler worker's slice).
+
+    ``max_neighbors``: deterministic fan-out cap (every production
+    sampler caps hub nodes): neighbors are ranked by md5(dst) — an
+    unbiased, engine-portable pseudo-random order — and the first k are
+    kept, then re-sorted for a canonical output. The cap bounds both
+    output row width and downstream sampling cost on power-law hubs.
+
+    Scale shape: ONE partial-aggregated groupBy(src); collect_list is
+    bounded by max_neighbors (uncapped hubs are the caller's explicit
+    choice); shard = md5-bucket of src so a shard's lists co-locate
+    with a src-bucketed edge table (sources/bucketed.py) and each
+    sampler worker reads exactly one bucket. Output order inside
+    ``neighbors`` is canonical (sorted), so the table is byte-stable
+    across runs and partitionings.
+    """
+    e = edges.select("src", "dst").distinct()
+    # rank by the portable md5 order, cap, then canonical-sort
+    pairs = e.groupBy("src").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.md5(F.col("dst")).alias("h"), F.col("dst")))
+        ).alias("ranked")
+    )
+    if max_neighbors is not None:
+        pairs = pairs.withColumn("ranked", F.slice(F.col("ranked"), 1, max_neighbors))
+    return pairs.select(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("src")), 1, 12), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int").alias("shard"),
+        "src",
+        F.size(F.col("ranked")).cast("int").alias("degree"),
+        F.array_join(
+            F.array_sort(F.transform(F.col("ranked"), lambda s: s["dst"])), "|"
+        ).alias("neighbors"),
+    )

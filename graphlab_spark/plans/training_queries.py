@@ -1594,6 +1594,33 @@ def kg_comention(spark, sf):
 
 
 @q(
+    "kg_adjacency",
+    # Sharded capped adjacency lists over the LIVE pipeline edges vs the
+    # frozen golden set: md5-rank fan-out cap (ties broken by dst) and
+    # md5-12-hex shard arithmetic replayed identically in DuckDB; the
+    # '|'-joined canonical neighbor string makes the list hash-exact.
+    # Parked past the recorded cap BY DESIGN: kg_degree_centrality
+    # carries the adjacency family's recorded gate; orphan-gated.
+    "WITH e AS (SELECT DISTINCT subj_id AS src, obj_id AS dst "
+    f"FROM '{REPO_FIXTURES}/golden_triples.parquet'), "
+    "ranked AS (SELECT src, dst, row_number() OVER "
+    "(PARTITION BY src ORDER BY md5(dst), dst) AS rn FROM e) "
+    "SELECT CAST(CAST(('0x' || substr(md5(src), 1, 12)) AS BIGINT) % 64 "
+    "AS INTEGER) AS shard, src, CAST(count(*) AS INTEGER) AS degree, "
+    "string_agg(dst, '|' ORDER BY dst) AS neighbors "
+    "FROM ranked WHERE rn <= 3 GROUP BY src",
+    "GNN-serving adjacency layout: sharded, deterministically "
+    "fan-out-capped, canonical neighbor lists — one partial-agg "
+    "groupBy(src), shard co-locatable with the bucketed edge table",
+)
+def kg_adj(spark, sf):
+    from graphlab_spark.operators.graph_query import adjacency_lists
+
+    edges = _kg_pipeline(spark)["edges"].select("src", "dst")
+    return adjacency_lists(edges, n_shards=64, max_neighbors=3)
+
+
+@q(
     "kg_negative_samples",
     # identical md5-mod arithmetic both engines (the winnowing/t05
     # portability pattern): 48-bit hex prefix is exact in BIGINT
@@ -1835,6 +1862,7 @@ reorder_registry_last(
         "kg_negative_samples",
         "c15_crawl_delta",
         "kg_graph_delta",
+        "kg_adjacency",
         "kg_random_walks",
         "kg_skipgram_pairs",
         "t27_bpe_token_ids",

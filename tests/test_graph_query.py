@@ -316,3 +316,40 @@ def test_two_hop_paths(spark):
         for r in two_hop_paths(edges, "acquired", "founded_by").collect()
     }
     assert got == {("x", "y", "p1"), ("x", "y", "p2")}
+
+
+def test_adjacency_lists_cap_and_canonical_order(spark):
+    """Fan-out cap keeps the md5-rank-first k neighbors; output list is
+    canonically sorted; degree reflects the cap; shard is the md5-12hex
+    bucket of src."""
+    import hashlib
+
+    from graphlab_spark.operators.graph_query import adjacency_lists
+
+    edges = spark.createDataFrame(
+        [("a", d) for d in ["n1", "n2", "n3", "n4", "n5"]]
+        + [("b", "a"), ("b", "a")],  # duplicate edge collapses
+        "src string, dst string",
+    )
+    rows = {r.src: r for r in adjacency_lists(edges, n_shards=8, max_neighbors=3).collect()}
+
+    # python replica of the cap: rank by (md5(dst), dst), keep 3, sort
+    expect = sorted(
+        sorted(["n1", "n2", "n3", "n4", "n5"],
+               key=lambda d: (hashlib.md5(d.encode()).hexdigest(), d))[:3]
+    )
+    assert rows["a"].neighbors == "|".join(expect)
+    assert rows["a"].degree == 3
+    assert rows["b"].neighbors == "a" and rows["b"].degree == 1
+    for src, r in rows.items():
+        assert r.shard == int(hashlib.md5(src.encode()).hexdigest()[:12], 16) % 8
+
+
+def test_adjacency_lists_uncapped_full_sorted(spark):
+    from graphlab_spark.operators.graph_query import adjacency_lists
+
+    edges = spark.createDataFrame(
+        [("a", "z"), ("a", "m"), ("a", "b")], "src string, dst string"
+    )
+    r = adjacency_lists(edges).collect()[0]
+    assert r.neighbors == "b|m|z" and r.degree == 3
