@@ -1,0 +1,64 @@
+"""ANALYZE-style per-column table statistics.
+
+Every warehouse keeps per-column stats (row count, null count, NDV,
+min/max) to drive pruning and join planning; at ingest time the same
+numbers are the data-quality report each batch publishes. This is the
+operator form: one job over the table, long-format output
+``(column, n_rows, n_nulls, n_distinct, min_str, max_str)``.
+
+Two NDV modes:
+- exact (default here, and what the DuckDB oracle replays): Spark plans
+  multi-column COUNT(DISTINCT) via Expand — shuffle volume is
+  O(rows × audited columns). Right for bounded audits and tests.
+- ``approx=True``: HyperLogLog++ ``approx_count_distinct`` — ONE pass,
+  map-side partial aggregation, no Expand. This is the 100-TB path
+  (rows-only accurate by construction; rsd defaults to 5%).
+
+Min/max are cast to string so one frame carries heterogeneous column
+types (the caller keeps numeric semantics by re-casting; engines
+format floats differently, so gates stick to int/string columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_stats(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_str, max_str) per
+    audited column — one aggregation job, long format."""
+    cols = cols if cols is not None else df.columns
+    nd = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.countDistinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            # coalesce: SUM over zero rows is NULL, the report wants 0
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(
+                f"_nulls_{c}"
+            ),
+            nd(c).alias(f"_nd_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nulls_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_str"),
+                F.col(f"_max_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("s")).select("s.*")

@@ -527,6 +527,37 @@ def a30(spark, sf):
     )
 
 
+@q(
+    "a31_table_stats",
+    # ANALYZE-style per-column stats (long format). Exact NDV here (the
+    # oracle-replayable mode); approx_count_distinct is the documented
+    # single-pass 100-TB mode. Int/string columns only — engines format
+    # float/date strings differently. Registered parked BY DESIGN
+    # (a09/a10 carry the count/extremum family's recorded gates).
+    "SELECT 'o_orderkey' AS column, count(*) AS n_rows, "
+    "count(*) - count(o_orderkey) AS n_nulls, "
+    "count(DISTINCT o_orderkey) AS n_distinct, "
+    "CAST(min(o_orderkey) AS VARCHAR) AS min_str, "
+    "CAST(max(o_orderkey) AS VARCHAR) AS max_str FROM orders "
+    "UNION ALL SELECT 'o_custkey', count(*), count(*) - count(o_custkey), "
+    "count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR), "
+    "CAST(max(o_custkey) AS VARCHAR) FROM orders "
+    "UNION ALL SELECT 'o_orderstatus', count(*), "
+    "count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus), "
+    "CAST(min(o_orderstatus) AS VARCHAR), "
+    "CAST(max(o_orderstatus) AS VARCHAR) FROM orders",
+    "ANALYZE-style column statistics (row/null/NDV/min/max) in one "
+    "aggregation job — the stats table that drives pruning decisions "
+    "and per-batch data-quality reports",
+)
+def a31(spark, sf):
+    from graphlab_spark.operators.analyze import table_stats
+
+    return table_stats(
+        _t(spark, sf, "orders"), ["o_orderkey", "o_custkey", "o_orderstatus"]
+    )
+
+
 # -------------------------------------------------- headline bench queries
 
 @q(

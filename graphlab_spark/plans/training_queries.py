@@ -1856,6 +1856,7 @@ reorder_registry_last(
         "d03_ngram_jaccard_pairs",
         "a29_cube_subtotals",
         "a30_semi_join_exists",
+        "a31_table_stats",
         "e11_funnel_summary",
         "e12_interval_range_join",
         "kg_node_provenance",

@@ -1,0 +1,71 @@
+"""ANALYZE-style table stats: exact values on a hand-built frame, null
+accounting, approx mode's single-pass plan (no Expand), and exact-mode
+agreement with approx on low-cardinality columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphlab_spark.operators.analyze import table_stats
+
+
+def _frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", None),
+            (2, "b", 10.0),
+            (3, "a", 20.0),
+            (4, None, 20.0),
+        ],
+        "id long, cat string, val double",
+    )
+
+
+def test_table_stats_exact(spark):
+    got = {r.column: r for r in table_stats(_frame(spark)).collect()}
+    assert set(got) == {"id", "cat", "val"}
+    for r in got.values():
+        assert r.n_rows == 4
+    assert (got["id"].n_nulls, got["id"].n_distinct) == (0, 4)
+    assert (got["cat"].n_nulls, got["cat"].n_distinct) == (1, 2)
+    assert (got["val"].n_nulls, got["val"].n_distinct) == (1, 2)
+    assert got["id"].min_str == "1" and got["id"].max_str == "4"
+    assert got["cat"].min_str == "a" and got["cat"].max_str == "b"
+
+
+def test_table_stats_subset_and_approx_agree_small(spark):
+    df = _frame(spark)
+    exact = {r.column: r.n_distinct for r in table_stats(df, ["cat"]).collect()}
+    approx = {
+        r.column: r.n_distinct for r in table_stats(df, ["cat"], approx=True).collect()
+    }
+    # HLL++ is exact at tiny cardinalities
+    assert exact == approx == {"cat": 2}
+
+
+def test_table_stats_approx_plan_has_no_expand(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "lang", "source"]
+    exact_plan = (
+        table_stats(docs, cols)._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        table_stats(docs, cols, approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # multi-column exact COUNT(DISTINCT) plans via Expand; the approx
+    # mode must stay a single partial-aggregated pass
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
+    assert "partial_count" in approx_plan or "HashAggregate" in approx_plan
+
+
+def test_table_stats_empty_table(spark):
+    empty = spark.createDataFrame([], "id long, cat string")
+    got = {r.column: r for r in table_stats(empty).collect()}
+    assert got["id"].n_rows == 0 and got["id"].n_distinct == 0
+    assert got["id"].min_str is None and got["id"].max_str is None
+    # SUM over zero rows is NULL in SQL — the operator coalesces to 0
+    assert got["id"].n_nulls == 0
