@@ -558,6 +558,40 @@ def a31(spark, sf):
     )
 
 
+def _a32_sql() -> str:
+    from graphlab_spark.operators.layout import zorder_sql_expr
+
+    return (
+        "SELECT o_orderkey, "
+        f"{zorder_sql_expr('(o_custkey % 65536)', '(o_orderkey % 65536)', 16)} "
+        "AS z FROM orders WHERE o_orderkey < 2000"
+    )
+
+
+@q(
+    "a32_zorder_key",
+    # Morton/Z-order interleave replayed bit-for-bit in DuckDB (the
+    # generator emits the identical shift/AND/OR algebra both engines
+    # execute) — a wrong bit position or sign-extension bug breaks the
+    # hash. Registered parked BY DESIGN (pure key computation; the
+    # write-path clustering is pytest-gated in tests/test_layout.py).
+    _a32_sql(),
+    "Z-order layout key: locality-preserving bit interleave of two "
+    "dimensions, pure JVM bit algebra — the clustered-write sort key "
+    "that makes min/max footer pruning work on BOTH columns",
+)
+def a32(spark, sf):
+    from graphlab_spark.operators.layout import zorder_key
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        zorder_key(
+            F.col("o_custkey") % 65536, F.col("o_orderkey") % 65536, bits=16
+        ).alias("z"),
+    )
+
+
 # -------------------------------------------------- headline bench queries
 
 @q(

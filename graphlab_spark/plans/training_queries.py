@@ -1857,6 +1857,7 @@ reorder_registry_last(
         "a29_cube_subtotals",
         "a30_semi_join_exists",
         "a31_table_stats",
+        "a32_zorder_key",
         "e11_funnel_summary",
         "e12_interval_range_join",
         "kg_node_provenance",

@@ -56,6 +56,7 @@ def test_cap_split_is_intentional():
         "a29_cube_subtotals",
         "a30_semi_join_exists",
         "a31_table_stats",
+        "a32_zorder_key",
         "e11_funnel_summary",
         "e12_interval_range_join",
         "kg_node_provenance",
