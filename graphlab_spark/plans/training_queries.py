@@ -1620,6 +1620,53 @@ def kg_adj(spark, sf):
     return adjacency_lists(edges, n_shards=64, max_neighbors=3)
 
 
+def _type_rules() -> dict[str, tuple[str, str]]:
+    from graphlab_spark.sources.corpus import RELATION_TEMPLATES
+
+    return {p: (s, o) for p, (s, o, _tpl) in RELATION_TEMPLATES.items()}
+
+
+def _kg_types_sql() -> str:
+    vals = ", ".join(
+        f"('{p}', '{s}', '{o}')" for p, (s, o) in sorted(_type_rules().items())
+    )
+    return (
+        "WITH e AS (SELECT DISTINCT subj_id AS src, pred, obj_id AS dst "
+        f"FROM '{REPO_FIXTURES}/golden_triples.parquet'), "
+        f"r(pred, subj_type, obj_type) AS (VALUES {vals}), "
+        "v AS (SELECT e.src AS entity_id, r.subj_type AS etype "
+        "FROM e JOIN r ON e.pred = r.pred "
+        "UNION ALL SELECT e.dst, r.obj_type FROM e JOIN r ON e.pred = r.pred), "
+        "c AS (SELECT entity_id, etype, count(*) AS votes FROM v GROUP BY 1, 2), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY entity_id "
+        "ORDER BY votes DESC, etype) AS rn, "
+        "SUM(votes) OVER (PARTITION BY entity_id) AS total FROM c) "
+        "SELECT entity_id, etype AS entity_type, CAST(votes AS INTEGER) AS votes, "
+        "CAST(total AS INTEGER) AS total_votes FROM rk WHERE rn = 1"
+    )
+
+
+@q(
+    "kg_entity_types",
+    # Schema-signature type voting over the LIVE pipeline edges vs the
+    # frozen golden set; the rules table comes from the corpus's own
+    # RELATION_TEMPLATES signatures so the vote ground truth is known.
+    # Same deterministic argmax both engines (most votes, then
+    # lexicographically smallest type). Parked past the recorded cap BY
+    # DESIGN: kg_c10_canonical_edges carries the edge family's recorded
+    # gate; orphan-gated.
+    _kg_types_sql(),
+    "ontology type inference: per-predicate domain/range signatures "
+    "broadcast, one partial-agg vote groupBy, deterministic majority — "
+    "types the UNK-typed entities mention detection could not",
+)
+def kg_types(spark, sf):
+    from graphlab_spark.operators.enttypes import infer_entity_types
+
+    edges = _kg_pipeline(spark)["edges"].select("src", "pred", "dst")
+    return infer_entity_types(spark, edges, _type_rules())
+
+
 @q(
     "kg_negative_samples",
     # identical md5-mod arithmetic both engines (the winnowing/t05
@@ -1865,6 +1912,7 @@ reorder_registry_last(
         "c15_crawl_delta",
         "kg_graph_delta",
         "kg_adjacency",
+        "kg_entity_types",
         "kg_random_walks",
         "kg_skipgram_pairs",
         "t27_bpe_token_ids",

@@ -64,6 +64,7 @@ def test_cap_split_is_intentional():
         "c15_crawl_delta",
         "kg_graph_delta",
         "kg_adjacency",
+        "kg_entity_types",
         "kg_random_walks",
         "kg_skipgram_pairs",
         "t27_bpe_token_ids",
