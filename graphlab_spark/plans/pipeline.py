@@ -616,3 +616,35 @@ def run_pipeline(
         result["nodes_bucketed"] = nb
         result["edges_bucketed"] = eb
     return result
+
+
+def forget_urls(
+    spark: SparkSession,
+    pages: DataFrame,
+    aliases: DataFrame,
+    out_dir: str,
+    urls: list[str],
+    run_id: str = "run-1",
+    **pipeline_kwargs,
+) -> dict[str, DataFrame]:
+    """Right-to-be-forgotten: republish the pipeline's outputs WITHOUT
+    every contribution of ``urls`` (GDPR erasure / takedown requests —
+    a first-class operation for any crawl-derived corpus).
+
+    No special erasure machinery: the manifest layer already makes this
+    O(delta). Filtering the input changes the per-bucket fingerprints
+    of exactly the buckets that contained a forgotten url, so the rerun
+    recomputes those buckets (+ the vocabulary-sized global stages,
+    whose transitive fingerprint changed) and resumes everything else
+    from disk untouched. The equality contract — forget(urls) ≡ a cold
+    run over ``pages`` minus ``urls`` — and the recompute bound are
+    pinned in tests/test_forget.py.
+
+    ``urls`` is an erasure-request list: human-scale (thousands), so it
+    ships as a broadcast anti-join, never a shuffle of ``pages``.
+    """
+    req = spark.createDataFrame([(u,) for u in urls], "url string")
+    remaining = pages.join(F.broadcast(req), "url", "left_anti")
+    return run_pipeline(
+        spark, remaining, aliases, out_dir, run_id=run_id, **pipeline_kwargs
+    )
