@@ -543,3 +543,38 @@ def adjacency_lists(
             F.array_sort(F.transform(F.col("ranked"), lambda s: s["dst"])), "|"
         ).alias("neighbors"),
     )
+
+
+def var_length_paths(edges: DataFrame, pred: str, max_len: int = 3) -> DataFrame:
+    """Variable-length typed reachability — Cypher ``(a)-[:P*1..k]->(b)``
+    → ``(src, dst, min_len)`` for every pair connected by 1..k hops of
+    ``pred`` edges (min_len = shortest such chain).
+
+    Plan: the predicate filter pushes to the edge scan; then EXACTLY
+    ``max_len - 1`` frontier⋈edges equi-joins with an anti-join against
+    the reached set (so a pair is emitted at its FIRST length — min by
+    construction, no min() aggregate needed). The loop is fixed-length,
+    so there are ZERO driver syncs (no convergence count()); lineage
+    depth is bounded by ``max_len`` (a small constant — callers wanting
+    unbounded closure use bfs_distances/connected_components, which pin
+    scratch per round). Frontier dedup keeps fan-out ≤ |reachable
+    pairs|, never multiplicities of paths.
+    """
+    e = (
+        edges.filter(F.col("pred") == pred)
+        .select("src", "dst")
+        .distinct()
+    )
+    reach = e.withColumn("min_len", F.lit(1))
+    frontier = reach.select("src", "dst")
+    hop = e.select(F.col("src").alias("_m"), F.col("dst").alias("_d"))
+    for length in range(2, max_len + 1):
+        nxt = (
+            frontier.join(hop, frontier["dst"] == hop["_m"])
+            .select("src", F.col("_d").alias("dst"))
+            .distinct()
+        )
+        new = nxt.join(reach.select("src", "dst"), ["src", "dst"], "left_anti")
+        reach = reach.unionByName(new.withColumn("min_len", F.lit(length)))
+        frontier = new
+    return reach.select("src", "dst", F.col("min_len").cast("int").alias("min_len"))

@@ -1620,6 +1620,33 @@ def kg_adj(spark, sf):
     return adjacency_lists(edges, n_shards=64, max_neighbors=3)
 
 
+@q(
+    "kg_var_paths",
+    # Variable-length typed reachability vs the same closure unrolled as
+    # chained CTEs in DuckDB (lengths 1..3 unioned, min per pair); the
+    # live pipeline edges match the frozen golden set, so both engines
+    # close over the same graph. Parked past the recorded cap BY
+    # DESIGN: kg_path_2hop carries the path family's recorded gate.
+    "WITH e AS (SELECT DISTINCT subj_id AS s, obj_id AS d "
+    f"FROM '{REPO_FIXTURES}/golden_triples.parquet' WHERE pred = 'acquired'), "
+    "p1 AS (SELECT s, d, 1 AS l FROM e), "
+    "p2 AS (SELECT DISTINCT a.s, b.d, 2 AS l FROM p1 a JOIN e b ON a.d = b.s), "
+    "p3 AS (SELECT DISTINCT a.s, b.d, 3 AS l FROM p2 a JOIN e b ON a.d = b.s), "
+    "u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 "
+    "UNION ALL SELECT * FROM p3) "
+    "SELECT s AS src, d AS dst, CAST(min(l) AS INTEGER) AS min_len "
+    "FROM u GROUP BY s, d",
+    "Cypher (a)-[:acquired*1..3]->(b) reachability: fixed-length "
+    "frontier joins with anti-join dedup — pairs emitted at first "
+    "(= shortest) length, zero driver syncs",
+)
+def kg_vpaths(spark, sf):
+    from graphlab_spark.operators.graph_query import var_length_paths
+
+    edges = _kg_pipeline(spark)["edges"].select("src", "pred", "dst")
+    return var_length_paths(edges, "acquired", max_len=3)
+
+
 def _type_rules() -> dict[str, tuple[str, str]]:
     from graphlab_spark.sources.corpus import RELATION_TEMPLATES
 
@@ -1913,6 +1940,7 @@ reorder_registry_last(
         "kg_graph_delta",
         "kg_adjacency",
         "kg_entity_types",
+        "kg_var_paths",
         "kg_random_walks",
         "kg_skipgram_pairs",
         "t27_bpe_token_ids",

@@ -353,3 +353,33 @@ def test_adjacency_lists_uncapped_full_sorted(spark):
     )
     r = adjacency_lists(edges).collect()[0]
     assert r.neighbors == "b|m|z" and r.degree == 3
+
+
+def test_var_length_paths_min_length_chain(spark):
+    from graphlab_spark.operators.graph_query import var_length_paths
+
+    # chain a->b->c->d->e plus a shortcut a->c
+    edges = spark.createDataFrame(
+        [("a", "x", "b"), ("b", "x", "c"), ("c", "x", "d"), ("d", "x", "e"),
+         ("a", "x", "c"), ("a", "y", "e")],  # y-edge must be ignored
+        "src string, pred string, dst string",
+    )
+    got = {(r.src, r.dst): r.min_len for r in var_length_paths(edges, "x", 3).collect()}
+    assert got[("a", "b")] == 1 and got[("a", "c")] == 1  # shortcut wins
+    assert got[("a", "d")] == 2  # via the shortcut, not the len-3 chain
+    assert got[("a", "e")] == 3
+    assert got[("b", "e")] == 3
+    assert ("e", "a") not in got  # directed
+    # pairs needing > max_len hops are absent
+    assert ("a", "e") in got and got.get(("a", "e")) <= 3
+
+
+def test_var_length_paths_cycle_terminates(spark):
+    from graphlab_spark.operators.graph_query import var_length_paths
+
+    edges = spark.createDataFrame(
+        [("a", "x", "b"), ("b", "x", "a")], "src string, pred string, dst string"
+    )
+    got = {(r.src, r.dst): r.min_len for r in var_length_paths(edges, "x", 4).collect()}
+    # cycle: a reaches itself in 2; no infinite growth, no dup pairs
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 2, ("b", "b"): 2}

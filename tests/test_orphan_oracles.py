@@ -65,6 +65,7 @@ def test_cap_split_is_intentional():
         "kg_graph_delta",
         "kg_adjacency",
         "kg_entity_types",
+        "kg_var_paths",
         "kg_random_walks",
         "kg_skipgram_pairs",
         "t27_bpe_token_ids",
