@@ -62,3 +62,38 @@ def table_stats(
         ]
     )
     return one.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def datacard(
+    docs: DataFrame,
+    text_col: str = "text",
+    dims: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Corpus data-card report → ``(section, key, n_docs, n_tokens)``:
+    document count and whitespace-token mass per value of each ``dims``
+    column plus a 'total' row — the summary table every dataset release
+    publishes (and the per-snapshot diffable health report at 100 TB).
+
+    One scan; each section is a partial-aggregated groupBy over the
+    SAME projected frame (Spark reuses the scan across the union);
+    all-integer outputs so cross-engine compares are exact."""
+    from graphlab_spark.functions.textstats import token_count_col
+
+    base = docs.select(*dims, token_count_col(text_col).alias("_n"))
+    parts = []
+    for d in dims:
+        parts.append(
+            base.groupBy(F.col(d).alias("key"))
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_n").alias("n_tokens"))
+            .select(F.lit(d).alias("section"), "key", "n_docs", "n_tokens")
+        )
+    total = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_n").alias("n_tokens")
+    ).select(
+        F.lit("total").alias("section"), F.lit("all").alias("key"),
+        "n_docs", "n_tokens",
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.unionByName(total)

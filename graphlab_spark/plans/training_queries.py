@@ -669,6 +669,29 @@ def t28(spark, sf):
 
 
 @q(
+    "t29_datacard",
+    # Dataset data-card report: doc counts + whitespace-token mass per
+    # language, per source, and in total — the summary table every
+    # corpus release publishes. All-integer aggregates so the compare
+    # is exact. Parked past the recorded cap BY DESIGN (t01/t17 carry
+    # the family's recorded gates); orphan-gated.
+    f"WITH d AS (SELECT lang, source, {TS.TOKEN_COUNT_SQL} AS n FROM documents) "
+    "SELECT 'lang' AS section, lang AS key, count(*) AS n_docs, "
+    "CAST(SUM(n) AS BIGINT) AS n_tokens FROM d GROUP BY lang "
+    "UNION ALL SELECT 'source', source, count(*), CAST(SUM(n) AS BIGINT) "
+    "FROM d GROUP BY source "
+    "UNION ALL SELECT 'total', 'all', count(*), CAST(SUM(n) AS BIGINT) FROM d",
+    "corpus data card: doc/token mass by language, source, and total — "
+    "three partial-aggregated groupBys over one scan, the release "
+    "report a 100-TB corpus publishes per snapshot",
+)
+def t29(spark, sf):
+    from graphlab_spark.operators.analyze import datacard
+
+    return datacard(_t(spark, sf, "documents"))
+
+
+@q(
     "t13_url_canonical",
     # Expected canonicalization stated BY CONSTRUCTION: the Spark side
     # synthesizes messy urls (upper-case scheme/host, default ports,
@@ -1945,6 +1968,7 @@ reorder_registry_last(
         "kg_skipgram_pairs",
         "t27_bpe_token_ids",
         "t28_quality_classifier",
+        "t29_datacard",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",

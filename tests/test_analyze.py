@@ -69,3 +69,21 @@ def test_table_stats_empty_table(spark):
     assert got["id"].min_str is None and got["id"].max_str is None
     # SUM over zero rows is NULL in SQL — the operator coalesces to 0
     assert got["id"].n_nulls == 0
+
+
+def test_datacard_sections_consistent(spark):
+    from graphlab_spark.operators.analyze import datacard
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = datacard(docs).collect()
+    by_sec = {}
+    for r in rows:
+        by_sec.setdefault(r.section, []).append(r)
+    assert set(by_sec) == {"lang", "source", "total"}
+    total = by_sec["total"][0]
+    assert total.key == "all" and total.n_docs == docs.count()
+    # every section's doc/token mass sums to the total (a partition of
+    # the corpus — the property a reader checks first on any data card)
+    for sec in ("lang", "source"):
+        assert sum(r.n_docs for r in by_sec[sec]) == total.n_docs
+        assert sum(r.n_tokens for r in by_sec[sec]) == total.n_tokens

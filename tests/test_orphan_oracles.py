@@ -70,6 +70,7 @@ def test_cap_split_is_intentional():
         "kg_skipgram_pairs",
         "t27_bpe_token_ids",
         "t28_quality_classifier",
+        "t29_datacard",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",
