@@ -143,14 +143,72 @@ def parse_image_header(data: bytes) -> tuple[str, int, int]:
     raise ValueError("unsupported format")
 
 
+def build_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:
+    """Minimal VALID PCM WAV: RIFF header + 'fmt ' chunk + 'data' chunk
+    of zero samples — real container bytes, stdlib-only."""
+    import struct
+
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_header(data: bytes) -> tuple[int, int, int, int]:
+    """(channels, sample_rate, bits, n_samples) parsed strictly from
+    RIFF/WAVE bytes: chunk walk to 'fmt ' (PCM only) and 'data'; raises
+    ValueError on anything malformed — the audio twin of
+    :func:`parse_image_header`."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("WAV: missing RIFF/WAVE magic")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16 or len(body) < 16:
+                raise ValueError("WAV: short fmt chunk")
+            audio_fmt, channels, rate, _br, block, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise ValueError("WAV: non-PCM format")
+            fmt = (channels, rate, bits, block)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV: data before fmt")
+            if len(body) != clen:
+                raise ValueError("WAV: truncated data chunk")
+            channels, rate, bits, block = fmt
+            return channels, rate, bits, clen // block
+        pos += 8 + clen + (clen % 2)  # RIFF chunks are word-aligned
+    raise ValueError("WAV: no data chunk")
+
+
 def attach_real_media(docs: DataFrame) -> DataFrame:
     """Plant REAL container bytes per doc: image docs (doc_id % 3 == 0)
     get a valid PNG (even doc_id) or JPEG (odd) with deterministic dims
     width = 16 + (doc_id·7) % 97, height = 16 + (doc_id·5) % 61; every
-    51st image is truncated to 10 bytes (corrupt-header plant); audio/
-    video docs keep the md5-repeat stub payload (no image container).
-    All formulas are doc_id-pure so a SQL oracle can state the expected
-    decode output without seeing the bytes."""
+    51st image is truncated to 10 bytes (corrupt-header plant). Audio
+    docs (doc_id % 3 == 1) get a valid PCM WAV with channels =
+    1 + doc_id % 2, sample_rate = 8000·(1 + (doc_id % 5) % 3),
+    n_samples = 100 + (doc_id·13) % 997; doc_id % 53 == 0 audio is
+    truncated to 8 bytes (corrupt plant — 53·k ≡ 1 mod 3 does occur,
+    unlike multiples of 51). Video docs keep the md5-repeat stub
+    payload (no real container). All formulas are doc_id-pure so a SQL
+    oracle can state the expected decode output without the bytes."""
     import hashlib
 
     schema = T.StructType(
@@ -173,6 +231,14 @@ def attach_real_media(docs: DataFrame) -> DataFrame:
                     blob = build_png(w, h) if d % 2 == 0 else build_jpeg(w, h)
                     if d % 51 == 0:
                         blob = blob[:10]
+                elif mtype == "audio":
+                    blob = build_wav(
+                        8000 * (1 + (d % 5) % 3),
+                        100 + (d * 13) % 997,
+                        channels=1 + d % 2,
+                    )
+                    if d % 53 == 0:
+                        blob = blob[:8]
                 else:
                     blob = (
                         hashlib.md5(str(d).encode()).hexdigest() * (d % 7 + 1)
@@ -231,6 +297,62 @@ def decode_image_headers(media_df: DataFrame) -> DataFrame:
             yield out
 
     return media_df.mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def decode_audio_headers(media_df: DataFrame) -> DataFrame:
+    """(doc_id, media_type, media) → real WAV header metadata, the audio
+    twin of :func:`decode_image_headers`: channels/sample_rate/n_samples
+    parsed from actual RIFF bytes; malformed RIFF quarantines as
+    'corrupt', anything without the magic as 'unsupported' — a decode
+    failure must never kill a partition."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, mtype, blob in zip(b["doc_id"], b["media_type"], b["media"]):
+                data = bytes(blob)
+                fmt = channels = rate = n = error = None
+                try:
+                    channels, rate, _bits, n = parse_wav_header(data)
+                    fmt = "wav"
+                except ValueError:
+                    error = "corrupt" if data[:4] == b"RIFF" else "unsupported"
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "media_type": mtype,
+                        "fmt": fmt,
+                        "channels": channels,
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "error": error,
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "media_type", "fmt", "channels",
+                    "sample_rate", "n_samples", "error",
+                ],
+            )
+            for c in ("channels", "sample_rate", "n_samples"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media_df.mapInPandas(decode, AUDIO_META_SCHEMA)
 
 
 def decode_media(media_df: DataFrame, use_real_decoder: bool = False) -> DataFrame:

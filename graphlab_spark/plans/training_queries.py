@@ -340,6 +340,35 @@ def m01(spark, sf):
 
 
 @q(
+    "m05_audio_meta",
+    # REAL WAV header decode (the audio twin of m01): the Spark side
+    # walks planted RIFF/fmt/data chunks; the oracle states the planted
+    # parameters from attach_real_media's doc_id-pure formulas. A chunk
+    # walk, endianness, or block-align bug breaks the hash. Parked past
+    # the recorded cap BY DESIGN: m01 carries the header-decode
+    # family's recorded gate; orphan-gated.
+    "SELECT doc_id, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END AS media_type, "
+    "CASE WHEN doc_id % 3 = 1 AND doc_id % 53 <> 0 THEN 'wav' END AS fmt, "
+    "CASE WHEN doc_id % 3 = 1 AND doc_id % 53 <> 0 THEN "
+    "CAST(1 + doc_id % 2 AS INT) END AS channels, "
+    "CASE WHEN doc_id % 3 = 1 AND doc_id % 53 <> 0 THEN "
+    "CAST(8000 * (1 + (doc_id % 5) % 3) AS INT) END AS sample_rate, "
+    "CASE WHEN doc_id % 3 = 1 AND doc_id % 53 <> 0 THEN "
+    "CAST(100 + (doc_id * 13) % 997 AS INT) END AS n_samples, "
+    "CASE WHEN doc_id % 3 <> 1 THEN 'unsupported' "
+    "WHEN doc_id % 53 = 0 THEN 'corrupt' END AS error "
+    "FROM documents",
+    "multimodal audio: binary media column → REAL WAV header metadata "
+    "(RIFF chunk walk via mapInPandas; corrupt or non-audio payloads "
+    "quarantined, never a crash)",
+)
+def m05(spark, sf):
+    return MM.decode_audio_headers(MM.attach_real_media(_t(spark, sf, "documents")))
+
+
+@q(
     "m02_frame_sample_counts",
     "SELECT media_type, CAST(sum((n_frames - 1) // 4 + 1) AS BIGINT) AS n_frames_sampled "
     "FROM (SELECT doc_id, media_type, "
@@ -1969,6 +1998,7 @@ reorder_registry_last(
         "t27_bpe_token_ids",
         "t28_quality_classifier",
         "t29_datacard",
+        "m05_audio_meta",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",

@@ -136,3 +136,54 @@ def test_decode_image_headers_real_and_quarantine(spark):
     # both failure classes actually occur in the sample
     assert any(r.error == "corrupt" for r in got.values())
     assert any(r.error == "unsupported" for r in got.values())
+
+
+def test_wav_build_parse_roundtrip():
+    from graphlab_spark.operators.multimodal import build_wav, parse_wav_header
+
+    blob = build_wav(16000, 250, channels=2)
+    assert parse_wav_header(blob) == (2, 16000, 16, 250)
+    blob = build_wav(8000, 1, channels=1)
+    assert parse_wav_header(blob) == (1, 8000, 16, 1)
+
+
+def test_wav_parser_rejects_malformed():
+    import pytest as _pytest
+
+    from graphlab_spark.operators.multimodal import build_wav, parse_wav_header
+
+    good = build_wav(8000, 10)
+    for bad in (b"", b"RIFF", good[:8], good[:30], b"RIFX" + good[4:],
+                good[:-4]):  # truncated data chunk
+        with _pytest.raises(ValueError):
+            parse_wav_header(bad)
+    # non-PCM format code rejected
+    import struct
+    nonpcm = bytearray(good)
+    struct.pack_into("<H", nonpcm, 20, 3)  # fmt tag offset: 12+8
+    with _pytest.raises(ValueError):
+        parse_wav_header(bytes(nonpcm))
+
+
+def test_decode_audio_headers_planted(spark):
+    from graphlab_spark.operators import multimodal as MM
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    got = {
+        r.doc_id: r
+        for r in MM.decode_audio_headers(MM.attach_real_media(docs)).collect()
+    }
+    assert len(got) == 200
+    for d, r in got.items():
+        if d % 3 == 1 and d % 53 != 0:
+            assert r.fmt == "wav" and r.error is None
+            assert r.channels == 1 + d % 2
+            assert r.sample_rate == 8000 * (1 + (d % 5) % 3)
+            assert r.n_samples == 100 + (d * 13) % 997
+        elif d % 3 == 1:
+            assert r.error == "corrupt" and r.fmt is None
+        else:
+            assert r.error == "unsupported" and r.fmt is None

@@ -71,6 +71,7 @@ def test_cap_split_is_intentional():
         "t27_bpe_token_ids",
         "t28_quality_classifier",
         "t29_datacard",
+        "m05_audio_meta",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",
