@@ -515,6 +515,31 @@ def main() -> None:
         len(_re.findall(r"^\(\d+\) Exchange", p, _re.M)) == 1,
     )
 
+    # 21. kg_entity_types: rules broadcast, votes partial-aggregate,
+    # argmax is an aggregate (never a corpus window)
+    p = plan_of(REGISTRY["kg_entity_types"].fn(spark, sf_dir))
+    ok_all &= check("kg_entity_types rules broadcast", "BroadcastHashJoin" in p)
+    ok_all &= check("kg_entity_types votes partial-aggregate", "partial_count" in p)
+    ok_all &= check("kg_entity_types no Window", "Window" not in p)
+
+    # 21a. kg_var_paths: predicate pushed into the edge source, no
+    # cartesian anywhere in the k-1 join ladder
+    p = plan_of(REGISTRY["kg_var_paths"].fn(spark, sf_dir))
+    ok_all &= check("kg_var_paths no CartesianProduct", "CartesianProduct" not in p)
+    ok_all &= check("kg_var_paths predicate filtered", "acquired" in p)
+
+    # 21b. t29 datacard: three partial-aggregated groupBys, zero Python
+    p = plan_of(REGISTRY["t29_datacard"].fn(spark, sf_dir))
+    ok_all &= check("t29 datacard partial-aggregates", "partial_count" in p)
+    ok_all &= check("t29 datacard no Python", "EvalPython" not in p)
+
+    # 21c. kg_adjacency: single partial-agg groupBy(src), no cartesian
+    p = plan_of(REGISTRY["kg_adjacency"].fn(spark, sf_dir))
+    ok_all &= check("kg_adjacency no CartesianProduct", "CartesianProduct" not in p)
+    ok_all &= check(
+        "kg_adjacency grouped on src", "hashpartitioning(src" in p
+    )
+
     print("\nAUDIT", "PASS" if ok_all else "HAS WARNINGS")
     sys.exit(0 if ok_all else 1)
 
