@@ -185,6 +185,8 @@ def parse_wav_header(data: bytes) -> tuple[int, int, int, int]:
             )
             if audio_fmt != 1:
                 raise ValueError("WAV: non-PCM format")
+            if block == 0:
+                raise ValueError("WAV: zero block align")
             fmt = (channels, rate, bits, block)
         elif cid == b"data":
             if fmt is None:

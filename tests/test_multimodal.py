@@ -187,3 +187,16 @@ def test_decode_audio_headers_planted(spark):
             assert r.error == "corrupt" and r.fmt is None
         else:
             assert r.error == "unsupported" and r.fmt is None
+
+
+def test_wav_zero_block_align_rejected():
+    import struct
+
+    import pytest as _pytest
+
+    from graphlab_spark.operators.multimodal import build_wav, parse_wav_header
+
+    blob = bytearray(build_wav(8000, 4))
+    struct.pack_into("<H", blob, 12 + 8 + 12, 0)  # blockAlign := 0
+    with _pytest.raises(ValueError):
+        parse_wav_header(bytes(blob))

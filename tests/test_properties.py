@@ -120,3 +120,54 @@ def test_pagerank_driver_invariants(pairs):
     ranks = _pagerank_driver(edges, damping=0.85, n_iter=20)
     assert all(r > 0 for _, r in ranks)
     assert abs(sum(r for _, r in ranks) - 1.0) < 1e-9
+
+
+@given(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1))
+@settings(max_examples=200, deadline=None)
+def test_zorder_interleave_roundtrips(a, b):
+    """De-interleaving the Morton key recovers both coordinates exactly
+    — every bit lands at its documented position and nowhere else."""
+    z = 0
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    ra = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    rb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (ra, rb) == (a, b)
+    assert 0 <= z < 2**32
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_bpe_ids_length_equals_count(s):
+    """encode_ids length == count_tokens for ANY text, and every id is
+    inside the documented id space [0, 256 + n_merges]."""
+    from graphlab_spark.functions.bpe import (
+        count_tokens,
+        encode_ids,
+        merged_ids,
+        train_merges,
+    )
+
+    merges = train_merges(["low low lower newest"], n_merges=6)
+    ranks = {m: i for i, m in enumerate(merges)}
+    mids = merged_ids(merges)
+    unk = 256 + len(merges)
+    ids = encode_ids(s, ranks, mids, unk)
+    assert len(ids) == count_tokens(s, ranks)
+    assert all(0 <= i <= unk for i in ids)
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_wav_parser_never_raises_unexpected(data):
+    """parse_wav_header on arbitrary bytes either returns a valid tuple
+    or raises ValueError — never struct.error/IndexError (a decode crash
+    at 10^12 docs kills partitions)."""
+    from graphlab_spark.operators.multimodal import parse_wav_header
+
+    try:
+        ch, rate, bits, n = parse_wav_header(data)
+        assert ch >= 0 and rate >= 0 and n >= 0
+    except ValueError:
+        pass
