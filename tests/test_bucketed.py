@@ -109,3 +109,31 @@ def test_pipeline_publish_bucketed(spark, tmp_path, no_broadcast):
         assert joined.count() > 0
     finally:
         spark.sql("DROP DATABASE IF EXISTS pubgraph CASCADE")
+
+
+def test_bucketed_adjacency_aggregation_no_exchange(spark, tmp_path):
+    """adjacency_lists' groupBy(src) over the src-bucketed edge table
+    plans WITHOUT a shuffle — the serving layout claim: one bucket = one
+    sampler worker's slice, aggregated in place."""
+    from graphlab_spark.operators.graph_query import adjacency_lists
+
+    nodes = spark.range(100).select(
+        F.concat(F.lit("e:"), F.col("id").cast("string")).alias("id"),
+        F.lit("ORG").alias("entity_type"),
+    )
+    edges = spark.range(4000).select(
+        F.concat(F.lit("e:"), (F.col("id") % 100).cast("string")).alias("src"),
+        F.lit("likes").alias("pred"),
+        F.concat(F.lit("e:"), ((F.col("id") + 3) % 100).cast("string")).alias("dst"),
+    )
+    _, e = materialize_graph_bucketed(
+        spark, nodes, edges, "bt_adj", n_buckets=8, location=str(tmp_path / "wh")
+    )
+    try:
+        adj = adjacency_lists(e.select("src", "dst"), n_shards=8, max_neighbors=5)
+        plan = adj._jdf.queryExecution().executedPlan().toString()
+        # distinct + groupBy(src...) both ride the bucket layout
+        assert "Exchange" not in plan, plan
+        assert adj.count() == 100
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bt_adj CASCADE")
