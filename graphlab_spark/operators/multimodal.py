@@ -199,6 +199,75 @@ def parse_wav_header(data: bytes) -> tuple[int, int, int, int]:
     raise ValueError("WAV: no data chunk")
 
 
+def build_mp4(timescale: int, duration: int) -> bytes:
+    """Minimal VALID ISO-BMFF MP4: ftyp + moov(mvhd v0) carrying real
+    timescale/duration — the third modality's real container bytes."""
+    import struct
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    # mvhd version 0: ver/flags, ctime, mtime, timescale, duration,
+    # rate, volume+reserved, matrix (identity), predefines, next track
+    mvhd_body = (
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)
+        + b"\x01\x00" + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2)
+    )
+    return ftyp + box(b"moov", box(b"mvhd", mvhd_body))
+
+
+def parse_mp4_header(data: bytes) -> tuple[int, int]:
+    """(timescale, duration) from the moov/mvhd box — a strict
+    top-level + moov-children box walk (v0 and v1 mvhd); raises
+    ValueError on anything malformed. The video twin of
+    :func:`parse_image_header` / :func:`parse_wav_header`."""
+    import struct
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("MP4: missing ftyp")
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            typ = buf[pos + 4 : pos + 8]
+            if size < 8 or pos + size > end:
+                raise ValueError("MP4: bad box size")
+            yield typ, pos + 8, pos + size
+            pos += size
+
+    for typ, b0, b1 in walk(data, 0, len(data)):
+        if typ != b"moov":
+            continue
+        for ityp, i0, i1 in walk(data, b0, b1):
+            if ityp != b"mvhd":
+                continue
+            ver = data[i0]
+            if ver == 0:
+                if i1 - i0 < 20:
+                    raise ValueError("MP4: short mvhd")
+                ts, dur = struct.unpack(">II", data[i0 + 12 : i0 + 20])
+            elif ver == 1:
+                if i1 - i0 < 32:
+                    raise ValueError("MP4: short mvhd")
+                (ts,) = struct.unpack(">I", data[i0 + 20 : i0 + 24])
+                (dur,) = struct.unpack(">Q", data[i0 + 24 : i0 + 32])
+            else:
+                raise ValueError("MP4: unknown mvhd version")
+            if ts == 0:
+                raise ValueError("MP4: zero timescale")
+            return ts, dur
+        raise ValueError("MP4: moov without mvhd")
+    raise ValueError("MP4: no moov box")
+
+
 def attach_real_media(docs: DataFrame) -> DataFrame:
     """Plant REAL container bytes per doc: image docs (doc_id % 3 == 0)
     get a valid PNG (even doc_id) or JPEG (odd) with deterministic dims
@@ -208,10 +277,12 @@ def attach_real_media(docs: DataFrame) -> DataFrame:
     1 + doc_id % 2, sample_rate = 8000·(1 + (doc_id % 5) % 3),
     n_samples = 100 + (doc_id·13) % 997; doc_id % 53 == 0 audio is
     truncated to 8 bytes (corrupt plant — 53·k ≡ 1 mod 3 does occur,
-    unlike multiples of 51). Video docs keep the md5-repeat stub
-    payload (no real container). All formulas are doc_id-pure so a SQL
-    oracle can state the expected decode output without the bytes."""
-    import hashlib
+    unlike multiples of 51). Video docs (doc_id % 3 == 2) get a valid
+    MP4 ftyp+moov/mvhd with timescale = 1000·(1 + (doc_id % 7) % 3),
+    duration = 500 + (doc_id·17) % 9001; doc_id % 59 == 0 video is
+    truncated to 10 bytes (corrupt plant: ftyp magic survives). All formulas are doc_id-pure
+    so a SQL oracle can state the expected decode output without the
+    bytes."""
 
     schema = T.StructType(
         [
@@ -242,9 +313,11 @@ def attach_real_media(docs: DataFrame) -> DataFrame:
                     if d % 53 == 0:
                         blob = blob[:8]
                 else:
-                    blob = (
-                        hashlib.md5(str(d).encode()).hexdigest() * (d % 7 + 1)
-                    ).encode()
+                    blob = build_mp4(
+                        1000 * (1 + (d % 7) % 3), 500 + (d * 17) % 9001
+                    )
+                    if d % 59 == 0:
+                        blob = blob[:10]
                 rows.append({"doc_id": d, "media_type": mtype, "media": blob})
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "media"])
 
@@ -355,6 +428,56 @@ def decode_audio_headers(media_df: DataFrame) -> DataFrame:
             yield out
 
     return media_df.mapInPandas(decode, AUDIO_META_SCHEMA)
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("timescale", T.IntegerType(), True),
+        T.StructField("duration", T.IntegerType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def decode_video_headers(media_df: DataFrame) -> DataFrame:
+    """(doc_id, media_type, media) → real MP4 moov/mvhd metadata — the
+    video leg, completing real header decode across all three
+    modalities. Malformed ISO-BMFF quarantines as 'corrupt' (ftyp magic
+    present), anything else as 'unsupported'."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, mtype, blob in zip(b["doc_id"], b["media_type"], b["media"]):
+                data = bytes(blob)
+                fmt = ts = dur = error = None
+                try:
+                    ts, dur = parse_mp4_header(data)
+                    fmt = "mp4"
+                except ValueError:
+                    error = "corrupt" if data[4:8] == b"ftyp" else "unsupported"
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "media_type": mtype,
+                        "fmt": fmt,
+                        "timescale": ts,
+                        "duration": dur,
+                        "error": error,
+                    }
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "fmt", "timescale", "duration", "error"],
+            )
+            for c in ("timescale", "duration"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media_df.mapInPandas(decode, VIDEO_META_SCHEMA)
 
 
 def decode_media(media_df: DataFrame, use_real_decoder: bool = False) -> DataFrame:

@@ -369,6 +369,32 @@ def m05(spark, sf):
 
 
 @q(
+    "m06_video_meta",
+    # REAL MP4 moov/mvhd decode — the third modality, so header decode
+    # is real across image/audio/video. The Spark side box-walks the
+    # planted ISO-BMFF bytes; the oracle states attach_real_media's
+    # doc_id-pure parameters. Parked past the recorded cap BY DESIGN:
+    # m01 carries the header-decode family's recorded gate.
+    "SELECT doc_id, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END AS media_type, "
+    "CASE WHEN doc_id % 3 = 2 AND doc_id % 59 <> 0 THEN 'mp4' END AS fmt, "
+    "CASE WHEN doc_id % 3 = 2 AND doc_id % 59 <> 0 THEN "
+    "CAST(1000 * (1 + (doc_id % 7) % 3) AS INT) END AS timescale, "
+    "CASE WHEN doc_id % 3 = 2 AND doc_id % 59 <> 0 THEN "
+    "CAST(500 + (doc_id * 17) % 9001 AS INT) END AS duration, "
+    "CASE WHEN doc_id % 3 <> 2 THEN 'unsupported' "
+    "WHEN doc_id % 59 = 0 THEN 'corrupt' END AS error "
+    "FROM documents",
+    "multimodal video: binary media column → REAL MP4 mvhd metadata "
+    "(ISO-BMFF box walk via mapInPandas; corrupt/non-video payloads "
+    "quarantined, never a crash)",
+)
+def m06(spark, sf):
+    return MM.decode_video_headers(MM.attach_real_media(_t(spark, sf, "documents")))
+
+
+@q(
     "m02_frame_sample_counts",
     "SELECT media_type, CAST(sum((n_frames - 1) // 4 + 1) AS BIGINT) AS n_frames_sampled "
     "FROM (SELECT doc_id, media_type, "
@@ -1999,6 +2025,7 @@ reorder_registry_last(
         "t28_quality_classifier",
         "t29_datacard",
         "m05_audio_meta",
+        "m06_video_meta",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",

@@ -200,3 +200,41 @@ def test_wav_zero_block_align_rejected():
     struct.pack_into("<H", blob, 12 + 8 + 12, 0)  # blockAlign := 0
     with _pytest.raises(ValueError):
         parse_wav_header(bytes(blob))
+
+
+def test_mp4_build_parse_roundtrip_and_malformed():
+    import pytest as _pytest
+
+    from graphlab_spark.operators.multimodal import build_mp4, parse_mp4_header
+
+    blob = build_mp4(3000, 8123)
+    assert parse_mp4_header(blob) == (3000, 8123)
+    for bad in (b"", blob[:10], blob[:40], blob[:-4], b"\x00" * 20):
+        with _pytest.raises(ValueError):
+            parse_mp4_header(bad)
+
+
+def test_decode_video_headers_planted(spark):
+    from graphlab_spark.operators import multimodal as MM
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 250
+    )
+    got = {
+        r.doc_id: r
+        for r in MM.decode_video_headers(MM.attach_real_media(docs)).collect()
+    }
+    assert len(got) == 250
+    saw_corrupt = False
+    for d, r in got.items():
+        if d % 3 == 2 and d % 59 != 0:
+            assert r.fmt == "mp4" and r.error is None
+            assert r.timescale == 1000 * (1 + (d % 7) % 3)
+            assert r.duration == 500 + (d * 17) % 9001
+        elif d % 3 == 2:
+            assert r.error == "corrupt" and r.fmt is None
+            saw_corrupt = True
+        else:
+            assert r.error == "unsupported" and r.fmt is None
+    assert saw_corrupt  # the plant (59, 236) is inside doc_id < 250

@@ -72,6 +72,7 @@ def test_cap_split_is_intentional():
         "t28_quality_classifier",
         "t29_datacard",
         "m05_audio_meta",
+        "m06_video_meta",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",
