@@ -578,3 +578,35 @@ def var_length_paths(edges: DataFrame, pred: str, max_len: int = 3) -> DataFrame
         reach = reach.unionByName(new.withColumn("min_len", F.lit(length)))
         frontier = new
     return reach.select("src", "dst", F.col("min_len").cast("int").alias("min_len"))
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node over the undirected
+    distinct edge set → ``(id, deg, triangles, coeff)`` for every node
+    with degree ≥ 2 (the coefficient is undefined below that):
+    ``coeff = 2·T(v) / (deg(v)·(deg(v)−1))``, rounded to 6 decimals for
+    engine portability.
+
+    Scale shape: reuses :func:`triangle_count`'s arboricity-bounded
+    wedge enumeration (the only heavy work) plus one degree aggregate
+    and one left join — zero-triangle nodes come out at coeff 0 rather
+    than being dropped, because "no clustering" is the signal a
+    community analysis actually reads."""
+    und = undirected(edges)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    tri = triangle_count(edges)
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "id", "left")
+        .fillna(0, ["triangles"])
+        .select(
+            "id",
+            F.col("deg").cast("int").alias("deg"),
+            F.col("triangles").cast("int").alias("triangles"),
+            F.round(
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)), 6
+            ).alias("coeff"),
+        )
+    )

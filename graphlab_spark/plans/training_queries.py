@@ -1383,6 +1383,36 @@ def kg_triangles(spark, sf):
 
 
 @q(
+    "kg_clustering_coeff",
+    # Local clustering coefficient — the same id-ordered triangle
+    # enumeration as kg_triangle_count, joined onto degrees with the
+    # identical 2T/(d(d-1)) division ROUND 6 both engines (the
+    # comention-PMI float-portability pattern). Parked past the
+    # recorded cap BY DESIGN: kg_triangle_count carries the family's
+    # recorded gate; orphan-gated.
+    _GOLDEN_UND + ", "
+    "d AS (SELECT src AS id, count(*) AS deg FROM u GROUP BY 1), "
+    "e AS (SELECT src AS a, dst AS b FROM u WHERE src < dst), "
+    "tri AS (SELECT e1.a, e1.b, e2.b AS c "
+    " FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b "
+    " JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), "
+    "tc AS (SELECT id, COUNT(*) AS n FROM "
+    "(SELECT a AS id FROM tri UNION ALL SELECT b FROM tri "
+    " UNION ALL SELECT c FROM tri) GROUP BY 1) "
+    "SELECT d.id, CAST(d.deg AS INT) AS deg, "
+    "CAST(COALESCE(tc.n, 0) AS INT) AS triangles, "
+    "ROUND(2.0 * COALESCE(tc.n, 0) / (d.deg * (d.deg - 1)), 6) AS coeff "
+    "FROM d LEFT JOIN tc ON tc.id = d.id WHERE d.deg >= 2",
+    "graph analytics: per-node local clustering coefficient "
+    "(2T/(d(d-1))) — zero-triangle nodes reported at 0, not dropped",
+)
+def kg_ccoeff(spark, sf):
+    from graphlab_spark.operators.graph_query import clustering_coefficient
+
+    return clustering_coefficient(_kg_pipeline(spark)["edges"])
+
+
+@q(
     "kg_neighbor_jaccard",
     _GOLDEN_UND + ", "
     "adj AS (SELECT src AS node, dst AS nb FROM u), "
@@ -2019,6 +2049,7 @@ reorder_registry_last(
         "kg_adjacency",
         "kg_entity_types",
         "kg_var_paths",
+        "kg_clustering_coeff",
         "kg_random_walks",
         "kg_skipgram_pairs",
         "t27_bpe_token_ids",

@@ -383,3 +383,31 @@ def test_var_length_paths_cycle_terminates(spark):
     got = {(r.src, r.dst): r.min_len for r in var_length_paths(edges, "x", 4).collect()}
     # cycle: a reaches itself in 2; no infinite growth, no dup pairs
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 2, ("b", "b"): 2}
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    from graphlab_spark.operators.graph_query import clustering_coefficient
+
+    # triangle a-b-c plus pendant d on a: deg(a)=3, T(a)=1 → 2/6; b,c:
+    # deg 2, T 1 → 1.0; d: deg 1 → excluded
+    edges = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"), ("a", "p", "d")],
+        "src string, pred string, dst string",
+    )
+    got = {r.id: r for r in clustering_coefficient(edges).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"].deg == 3 and got["a"].triangles == 1
+    assert abs(got["a"].coeff - round(2 / 6, 6)) < 1e-9
+    assert got["b"].coeff == 1.0 and got["c"].coeff == 1.0
+
+
+def test_clustering_coefficient_zero_not_dropped(spark):
+    from graphlab_spark.operators.graph_query import clustering_coefficient
+
+    # path x-y-z: y has deg 2 and no triangle → coeff 0, still reported
+    edges = spark.createDataFrame(
+        [("x", "p", "y"), ("y", "p", "z")], "src string, pred string, dst string"
+    )
+    got = {r.id: r for r in clustering_coefficient(edges).collect()}
+    assert got["y"].triangles == 0 and got["y"].coeff == 0.0
+    assert set(got) == {"y"}  # x, z have deg 1

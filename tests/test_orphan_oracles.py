@@ -66,6 +66,7 @@ def test_cap_split_is_intentional():
         "kg_adjacency",
         "kg_entity_types",
         "kg_var_paths",
+        "kg_clustering_coeff",
         "kg_random_walks",
         "kg_skipgram_pairs",
         "t27_bpe_token_ids",
