@@ -34,6 +34,24 @@ def zorder_key(c1: str | Column, c2: str | Column, bits: int = 16) -> Column:
     return z
 
 
+def zorder_key_n(cols: list[str | Column], bits: int = 8) -> Column:
+    """N-column Morton interleave: bit i of column j lands at position
+    i·k + j (k = len(cols)). ``bits·k`` must fit a long (≤ 62). The
+    2-column :func:`zorder_key` is the k=2 special case; ZORDER BY over
+    3-4 columns is the common lakehouse request this covers."""
+    k = len(cols)
+    if bits * k > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    cs = [
+        (F.col(c) if isinstance(c, str) else c).cast("long") for c in cols
+    ]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            z = z + F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j)
+    return z
+
+
 def zorder_sql_expr(c1: str, c2: str, bits: int = 16) -> str:
     """The identical bit algebra as ANSI SQL (DuckDB-runnable) — the
     oracle replays it so the Spark expression is value-gated."""

@@ -1560,6 +1560,33 @@ def kg_pagerank(spark, sf):
 
 
 @q(
+    "kg_ppr_top",
+    None,  # iterative float algorithm: rows-only here; the semantic gate
+    # is test_graph_query.py (distributed PPR ≡ driver fast path to 1e-9
+    # AND ≡ an independently-written dense matrix iteration — the
+    # kg_pagerank_top posture). Parked with it past the recorded cap.
+    "graph analytics: personalized PageRank top-10 from a seed entity "
+    "(teleport + dangling mass to the seed set) — the 'more like these' "
+    "related-entities serving query",
+)
+def kg_ppr(spark, sf):
+    from graphlab_spark.operators.graph_query import personalized_pagerank
+
+    res = _kg_pipeline(spark)
+    edges = res["edges"]
+    seed = [
+        r.id
+        for r in res["nodes"].select("id").orderBy("id").limit(1).collect()
+    ]
+    return (
+        personalized_pagerank(edges, seed)
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(10)
+    )
+
+
+@q(
     "kg_c14_doc_relevance",
     f"SELECT url, relevance FROM '{REPO_FIXTURES}/golden_relevance.parquet'",
     "C14 keyword-weight ranking: per-doc relevance = sum of matched alias "
@@ -2095,5 +2122,6 @@ reorder_registry_last(
         "s02_ann_lsh_topk",
         "s03_ann_ivf_topk",
         "kg_pagerank_top",
+        "kg_ppr_top",
     ]
 )

@@ -411,3 +411,74 @@ def test_clustering_coefficient_zero_not_dropped(spark):
     got = {r.id: r for r in clustering_coefficient(edges).collect()}
     assert got["y"].triangles == 0 and got["y"].coeff == 0.0
     assert set(got) == {"y"}  # x, z have deg 1
+
+
+def test_ppr_distributed_equals_driver(spark, edges):
+    from graphlab_spark.operators.graph_query import personalized_pagerank
+
+    seeds = ["a"]
+    dist = {
+        r.id: r.rank
+        for r in personalized_pagerank(
+            edges, seeds, driver_max_nodes=0, n_iter=15
+        ).collect()
+    }
+    fast = {
+        r.id: r.rank
+        for r in personalized_pagerank(edges, seeds, n_iter=15).collect()
+    }
+    assert set(dist) == set(fast)
+    for k in dist:
+        assert abs(dist[k] - fast[k]) < 1e-9, k
+
+
+def test_ppr_concentrates_on_seed_neighborhood(spark, edges):
+    from graphlab_spark.operators.graph_query import personalized_pagerank
+
+    got = {r.id: r.rank for r in personalized_pagerank(edges, ["a"], n_iter=20).collect()}
+    # mass sums to 1 (seed present, teleport conserves)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the seed and its direct targets outrank the disconnected self-loop
+    assert got["a"] > got["e"]
+    assert got["b"] > got["e"] and got["c"] > got["e"]
+    # e is unreachable from a → only residual (zero) mass
+    assert got["e"] < 1e-12
+
+
+def test_ppr_independent_numpy_check(spark, edges):
+    """Distributed PPR == a dense numpy reference written independently
+    of _ppr_driver (matrix form: r = (1-d)p + d(A^T D^-1 r + dangling·p))."""
+    import numpy as np
+
+    from graphlab_spark.operators.graph_query import personalized_pagerank
+
+    pairs = sorted({(s, d) for s, _, d in EDGES})
+    ids = sorted({x for p in pairs for x in p})
+    pos = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    M = np.zeros((n, n))
+    for s, d in pairs:
+        M[pos[d], pos[s]] += 1.0
+    out = M.sum(axis=0)
+    p = np.zeros(n)
+    p[pos["a"]] = 1.0
+    r = p.copy()
+    for _ in range(20):
+        share = np.where(out > 0, r / np.where(out > 0, out, 1.0), 0.0)
+        dangling = r[out == 0].sum()
+        r = 0.15 * p + 0.85 * (M @ share + dangling * p)
+    got = {
+        x.id: x.rank
+        for x in personalized_pagerank(edges, ["a"], driver_max_nodes=0).collect()
+    }
+    for v in ids:
+        assert abs(got[v] - r[pos[v]]) < 1e-9, v
+
+
+def test_ppr_empty_seeds_raises(spark, edges):
+    import pytest as _pytest
+
+    from graphlab_spark.operators.graph_query import personalized_pagerank
+
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, [])

@@ -82,3 +82,34 @@ def test_zorder_key_plan_is_pure_codegen(spark):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_zorder_key_n_matches_replica_and_specializes(spark):
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.operators.layout import zorder_key, zorder_key_n
+
+    def py_zn(vals, bits):
+        z = 0
+        k = len(vals)
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * k + j)
+        return z
+
+    rows = [(a, b, c) for a in (0, 5, 63) for b in (0, 17, 63) for c in (0, 42, 63)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = df.select(
+        "a", "b", "c",
+        zorder_key_n(["a", "b", "c"], bits=6).alias("z3"),
+        zorder_key_n(["a", "b"], bits=6).alias("z2n"),
+        zorder_key(F.col("a"), F.col("b"), bits=6).alias("z2"),
+    ).collect()
+    for r in got:
+        assert r.z3 == py_zn([r.a, r.b, r.c], 6)
+        assert r.z2n == r.z2  # k=2 specializes to the pairwise key
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zorder_key_n(["a", "b", "c"], bits=21)  # 63 bits > 62
