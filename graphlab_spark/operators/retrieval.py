@@ -91,3 +91,61 @@ def bm25_scores(
     return scored.filter(any_hit).select(
         id_col, F.round(score, 6).alias("bm25")
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sharded inverted index → ``(shard, term, df, postings)`` with
+    ``postings`` the '|'-joined doc-id list sorted numerically — the
+    retrieval-serving twin of graph_query.adjacency_lists (one shard =
+    one query worker's slice; df is the BM25 document frequency, so
+    this table also feeds scoring without a second corpus pass).
+
+    Scale shape: JVM tokenize (lower + regexp_extract_all + explode)
+    → per-doc DISTINCT (terms count once per doc) → ONE
+    partial-aggregated groupBy(term); shard = md5-12-hex bucket of the
+    term, engine-portable. Posting lists are canonical (sorted), so
+    the table is byte-stable across runs and partitionings. Hub terms
+    (stopwords) make long rows — cap or stopword-filter upstream via
+    the caller's docs projection when serving latency matters."""
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)),
+                    F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"),
+                    F.lit(0),
+                )
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+                "|",
+            ).alias("postings"),
+        )
+        .select(
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("term")), 1, 12), 16, 10).cast("long"),
+                F.lit(n_shards),
+            )
+            .cast("int")
+            .alias("shard"),
+            "term",
+            F.col("df").cast("int").alias("df"),
+            "postings",
+        )
+    )

@@ -374,3 +374,38 @@ def e12(spark, sf):
         F.date_format("t_end", EV.TS_FMT).alias("t_end"),
         "n_events",
     )
+
+
+@q(
+    "e13_band_join",
+    # Temporal band join: (purchase, error) pairs within ±600 s. DuckDB
+    # executes the inequality join natively (IEJoin); Spark runs the
+    # BINNED ±1-bucket equi-join plan — identical results is the point.
+    # dt is exact integer microseconds so the compare is hash-exact.
+    # Parked past the recorded cap BY DESIGN: e12 carries the
+    # inequality-join family's recorded gate; orphan-gated.
+    "SELECT a.event_id AS a_id, b.event_id AS b_id, "
+    "epoch_us(b.ts) - epoch_us(a.ts) AS dt_us "
+    "FROM events a JOIN events b "
+    "ON a.event_type = 'purchase' AND b.event_type = 'error' "
+    "AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 600000000",
+    "temporal band join (|Δt| ≤ 600 s event-pair correlation): bin-"
+    "exploded hash EQUI-join + residual predicate — one hash join, "
+    "never a nested loop over events × events",
+)
+def e13(spark, sf):
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf, "events")
+    pairs = EV.band_join(
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("a_id"), "ts"
+        ),
+        ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("b_id"), F.col("ts").alias("ts2")
+        ),
+        delta_us=600_000_000,
+        l_ts="ts",
+        r_ts="ts2",
+    )
+    return pairs.select("a_id", "b_id", F.col("dt_us").cast("long").alias("dt_us"))

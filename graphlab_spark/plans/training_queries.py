@@ -747,6 +747,30 @@ def t29(spark, sf):
 
 
 @q(
+    "t30_inverted_index",
+    # Sharded inverted index (term → sorted posting list + df) — the
+    # retrieval-serving layout behind t25's BM25 scoring; md5-12-hex
+    # shard arithmetic and the canonical '|'-joined postings replayed
+    # identically in DuckDB. Parked past the recorded cap BY DESIGN:
+    # t25 carries the retrieval family's recorded gate; orphan-gated.
+    "WITH toks AS (SELECT DISTINCT doc_id, "
+    r"unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) "
+    "AS term FROM documents) "
+    "SELECT CAST(CAST(('0x' || substr(md5(term), 1, 12)) AS BIGINT) % 32 "
+    "AS INT) AS shard, term, CAST(count(*) AS INT) AS df, "
+    "string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS postings "
+    "FROM toks GROUP BY term",
+    "inverted-index build: JVM tokenize → per-doc distinct → ONE "
+    "partial-agg groupBy(term); canonical sorted postings, df feeds "
+    "BM25 without a second corpus pass",
+)
+def t30(spark, sf):
+    from graphlab_spark.operators.retrieval import inverted_index
+
+    return inverted_index(_t(spark, sf, "documents"))
+
+
+@q(
     "t13_url_canonical",
     # Expected canonicalization stated BY CONSTRUCTION: the Spark side
     # synthesizes messy urls (upper-case scheme/host, default ports,
@@ -2068,6 +2092,7 @@ reorder_registry_last(
         "a31_table_stats",
         "a32_zorder_key",
         "e11_funnel_summary",
+        "e13_band_join",
         "e12_interval_range_join",
         "kg_node_provenance",
         "kg_negative_samples",
@@ -2082,6 +2107,7 @@ reorder_registry_last(
         "t27_bpe_token_ids",
         "t28_quality_classifier",
         "t29_datacard",
+        "t30_inverted_index",
         "m05_audio_meta",
         "m06_video_meta",
         "t06_token_budget_packing",

@@ -286,3 +286,55 @@ def test_interval_counts_binned_range_join(spark):
     )
     got = {r.interval_id: r.n_events for r in interval_counts(ev, iv).collect()}
     assert got == {0: 2, 1: 1, 2: 0}  # inclusive start, exclusive end, zero kept
+
+
+def test_band_join_exact_pairs_and_no_duplicates(spark):
+    from datetime import datetime
+
+    from graphlab_spark.operators.events import band_join
+    from pyspark.sql import functions as F
+
+    base = datetime(2024, 1, 1)
+
+    def at(sec):
+        return datetime(2024, 1, 1, 0, sec // 60, sec % 60)
+
+    left = spark.createDataFrame(
+        [(1, at(0)), (2, at(100))], "a_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, at(5)), (11, at(59)), (12, at(61)), (13, at(160))],
+        "b_id long, ts2 timestamp",
+    )
+    got = {
+        (r.a_id, r.b_id): r.dt_us
+        for r in band_join(left, right, 60_000_000, "ts", "ts2").collect()
+    }
+    # a=0s matches 5s (+5) and 59s (+59) but not 61s; a=100s matches
+    # 59s (−41), 61s (−39), 160s (+60, inclusive boundary)
+    assert got == {
+        (1, 10): 5_000_000,
+        (1, 11): 59_000_000,
+        (2, 11): -41_000_000,
+        (2, 12): -39_000_000,
+        (2, 13): 60_000_000,
+    }
+    # exactly-once per qualifying pair (the 3-bin explode never dups)
+    rows = band_join(left, right, 60_000_000, "ts", "ts2").count()
+    assert rows == len(got)
+
+
+def test_band_join_plan_is_equi_join(spark):
+    from graphlab_spark.operators.events import band_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = ev.select(F.col("event_id").alias("a_id"), "ts")
+    b = ev.select(F.col("event_id").alias("b_id"), F.col("ts").alias("ts2"))
+    plan = (
+        band_join(a, b, 600_000_000, "ts", "ts2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

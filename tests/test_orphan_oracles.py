@@ -58,6 +58,7 @@ def test_cap_split_is_intentional():
         "a31_table_stats",
         "a32_zorder_key",
         "e11_funnel_summary",
+        "e13_band_join",
         "e12_interval_range_join",
         "kg_node_provenance",
         "kg_negative_samples",
@@ -72,6 +73,7 @@ def test_cap_split_is_intentional():
         "t27_bpe_token_ids",
         "t28_quality_classifier",
         "t29_datacard",
+        "t30_inverted_index",
         "m05_audio_meta",
         "m06_video_meta",
         "t06_token_budget_packing",

@@ -65,3 +65,42 @@ def test_bm25_single_term_and_empty(spark):
     assert got == {1, 4, 5}
     with pytest.raises(ValueError):
         bm25_scores(docs, [])
+
+
+def test_inverted_index_postings(spark):
+    from graphlab_spark.operators.retrieval import inverted_index
+
+    docs = spark.createDataFrame(
+        [(3, "the cat"), (1, "the dog the dog"), (20, "cat!")],
+        "doc_id long, text string",
+    )
+    got = {r.term: r for r in inverted_index(docs, n_shards=8).collect()}
+    # df counts DOCS (per-doc distinct), postings sorted numerically
+    assert got["the"].df == 2 and got["the"].postings == "1|3"
+    assert got["cat"].df == 2 and got["cat"].postings == "3|20"  # 3 < 20 numeric
+    assert got["dog"].df == 1 and got["dog"].postings == "1"
+    assert got["!"].postings == "20"
+    import hashlib
+
+    for t, r in got.items():
+        assert r.shard == int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % 8
+
+
+def test_inverted_index_single_shuffle_plan(spark):
+    import re
+
+    from graphlab_spark.operators.retrieval import inverted_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        inverted_index(docs)
+        ._jdf.queryExecution()
+        .explainString(
+            docs._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "EvalPython" not in plan
+    # distinct + groupBy(term) — at most two exchanges, no Python
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
