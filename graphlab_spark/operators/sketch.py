@@ -1,0 +1,98 @@
+"""Count-Min sketch: bounded-memory frequency estimation.
+
+At 100 TB a plain ``groupBy(token).count()`` for heavy-hitter detection
+shuffles a row per DISTINCT key — unbounded. A Count-Min sketch (Cormode
+& Muthukrishnan, 2005) caps state at ``depth × width`` integer counters
+with a one-sided error (estimates never undercount, overcount ≤ εN with
+ε = e/width at probability 1−(1/2)^depth), and sketches MERGE by
+counter-wise addition — the property that makes them shuffle-friendly:
+map-side partial aggregation already IS the merge.
+
+Engine-portable hashing (the repo's md5-12-hex pattern):
+``bucket_i(v) = int(md5(str(i) + '|' + v)[:12], 16) % width`` — so a
+DuckDB oracle replays the exact counters and estimates.
+
+Spark shape: build = explode to ``depth`` (row, bucket) cells per value
+→ ONE partial-aggregated groupBy over ≤ depth·width cells (the shuffle
+carries at most the sketch, never the key space). Estimate = broadcast
+the probe terms, join the sketch on (row, bucket), take the min across
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col: Column, row: int, width: int) -> Column:
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}|"), col)), 1, 12), 16, 10
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def cms_build(
+    values: DataFrame, col: str = "value", depth: int = 3, width: int = 1024
+) -> DataFrame:
+    """Counter table (row, bucket, cnt) over all rows of ``values`` —
+    at most depth·width rows regardless of key cardinality."""
+    cells = values.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket(F.col(col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    ).select("c.*")
+    return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counter-wise sum — sketch(A ∪ B) == merge(sketch(A), sketch(B)),
+    the distributive property partial aggregation exploits."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str = "value",
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """(value, est) upper-bound frequency per probe value: min over the
+    depth counters. Probes are query-sized → broadcast; absent cells
+    count 0 (value never seen)."""
+    keyed = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _bucket(F.col(col), i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(col, "c.*")
+    return (
+        F.broadcast(keyed)
+        .join(sketch, ["row", "bucket"], "left")
+        .fillna(0, ["cnt"])
+        .groupBy(col)
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )

@@ -770,6 +770,57 @@ def t30(spark, sf):
     return inverted_index(_t(spark, sf, "documents"))
 
 
+_CMS_TOKS = (
+    "SELECT unnest(regexp_extract_all(lower(text), "
+    r"'[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS v FROM documents"
+)
+
+
+@q(
+    "t31_cms_heavy_hitters",
+    # Count-Min sketch (depth 3 × width 1024) over token OCCURRENCES,
+    # then the estimate for every distinct vocabulary term — identical
+    # md5-12-hex counter arithmetic replayed in DuckDB, so a hashing,
+    # merge, or min bug breaks the hash-exact integer compare. Parked
+    # past the recorded cap BY DESIGN (t01 carries the token-counting
+    # family's recorded gate); orphan-gated.
+    f"WITH toks AS ({_CMS_TOKS}), "
+    "cells AS (SELECT i AS row, "
+    "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || v), 1, 12)) "
+    "AS BIGINT) % 1024 AS bucket "
+    "FROM toks CROSS JOIN generate_series(0, 2) AS t(i)), "
+    "sk AS (SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2), "
+    f"probes AS (SELECT DISTINCT v FROM ({_CMS_TOKS})), "
+    "pk AS (SELECT v, i AS row, "
+    "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || v), 1, 12)) "
+    "AS BIGINT) % 1024 AS bucket "
+    "FROM probes CROSS JOIN generate_series(0, 2) AS t(i)) "
+    "SELECT pk.v AS term, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est "
+    "FROM pk LEFT JOIN sk ON sk.row = pk.row AND sk.bucket = pk.bucket "
+    "GROUP BY pk.v",
+    "Count-Min sketch heavy hitters: depth×width bounded counters (the "
+    "shuffle carries at most the sketch, never the key space), "
+    "counter-wise mergeable — frequency upper bounds for every term",
+)
+def t31(spark, sf):
+    from graphlab_spark.operators.sketch import cms_build, cms_estimate
+
+    toks = _t(spark, sf, "documents").select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")),
+                F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]+"),
+                F.lit(0),
+            )
+        ).alias("v")
+    )
+    sketch = cms_build(toks, "v")
+    probes = toks.distinct()
+    return cms_estimate(sketch, probes, "v").select(
+        F.col("v").alias("term"), "est"
+    )
+
+
 @q(
     "t13_url_canonical",
     # Expected canonicalization stated BY CONSTRUCTION: the Spark side
@@ -2108,6 +2159,7 @@ reorder_registry_last(
         "t28_quality_classifier",
         "t29_datacard",
         "t30_inverted_index",
+        "t31_cms_heavy_hitters",
         "m05_audio_meta",
         "m06_video_meta",
         "t06_token_budget_packing",

@@ -74,6 +74,7 @@ def test_cap_split_is_intentional():
         "t28_quality_classifier",
         "t29_datacard",
         "t30_inverted_index",
+        "t31_cms_heavy_hitters",
         "m05_audio_meta",
         "m06_video_meta",
         "t06_token_budget_packing",

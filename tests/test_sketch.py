@@ -1,0 +1,60 @@
+"""Count-Min sketch: one-sided error, exactness without collisions,
+counter-wise mergeability (the distributed property), bounded state,
+and the broadcast probe plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphlab_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+
+
+def _vals(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "value string")
+
+
+def test_cms_never_undercounts_and_is_exact_when_sparse(spark):
+    words = ["a"] * 5 + ["b"] * 3 + ["c"]
+    sk = cms_build(_vals(spark, words), depth=3, width=1024)
+    probes = _vals(spark, ["a", "b", "c", "never-seen"])
+    got = {r.value: r.est for r in cms_estimate(sk, probes).collect()}
+    true = {"a": 5, "b": 3, "c": 1, "never-seen": 0}
+    for k, t in true.items():
+        assert got[k] >= t  # one-sided: never undercounts
+    # 3 distinct keys in 3×1024 cells: collisions are (md5-)impossible
+    # to all collide across every row — min recovers the exact count
+    assert got == true
+
+
+def test_cms_merge_equals_union(spark):
+    a = ["x"] * 4 + ["y"]
+    b = ["x"] * 2 + ["z"] * 7
+    sk_union = cms_build(_vals(spark, a + b), depth=3, width=64)
+    sk_merged = cms_merge(
+        cms_build(_vals(spark, a), depth=3, width=64),
+        cms_build(_vals(spark, b), depth=3, width=64),
+    )
+    u = {(r.row, r.bucket): r.cnt for r in sk_union.collect()}
+    m = {(r.row, r.bucket): r.cnt for r in sk_merged.collect()}
+    assert u == m  # sketch(A ∪ B) == merge(sketch(A), sketch(B))
+
+
+def test_cms_state_is_bounded(spark):
+    # 10k distinct keys, width 32: the sketch can never exceed d×w rows
+    vals = spark.range(10_000).select(F.col("id").cast("string").alias("value"))
+    sk = cms_build(vals, depth=3, width=32)
+    assert sk.count() <= 3 * 32
+
+
+def test_cms_probe_plan_broadcasts(spark):
+    vals = spark.range(1000).select(F.col("id").cast("string").alias("value"))
+    sk = cms_build(vals, depth=3, width=64)
+    probes = _vals(spark, ["1", "2"])
+    plan = (
+        cms_estimate(sk, probes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
