@@ -96,3 +96,56 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min("cnt").cast("long").alias("est"))
     )
+
+
+def bloom_build(
+    values: DataFrame, col: str = "value", n_hashes: int = 4, n_bits: int = 8192
+) -> DataFrame:
+    """Bloom filter as a DISTINCT bit-position table (≤ n_bits rows —
+    bounded regardless of key cardinality): bit_i(v) = md5-12-hex of
+    ``str(i) + '|' + v`` mod n_bits. Merge = union-distinct (bitwise OR
+    of the bit sets) — like the CMS, partial aggregation is the merge.
+    The membership primitive behind "have we crawled this url" when the
+    key set no longer fits an exact table."""
+    return (
+        values.select(
+            F.explode(
+                F.array(*[_bucket(F.col(col), i, n_bits) for i in range(n_hashes)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    col: str = "value",
+    n_hashes: int = 4,
+    n_bits: int = 8192,
+) -> DataFrame:
+    """(value, maybe_present) per probe: present iff ALL k bits are set.
+    No false negatives ever; false-positive rate ≈ (1 − e^{−kn/m})^k.
+    The bit table is ≤ n_bits rows → broadcast; count-of-hits equals k
+    exactly when every bit is found (bits per probe are exploded
+    DISTINCT positions... k positions may collide for one value, so the
+    check compares against the value's own DISTINCT bit count)."""
+    keyed = probes.select(
+        F.col(col),
+        F.explode(
+            F.array_distinct(
+                F.array(*[_bucket(F.col(col), i, n_bits) for i in range(n_hashes)])
+            )
+        ).alias("bit"),
+    )
+    hits = (
+        keyed.join(
+            F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left"
+        )
+        .groupBy(col)
+        .agg(
+            F.count(F.lit(1)).alias("_k"),
+            F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("_hits"),
+        )
+    )
+    return hits.select(col, (F.col("_hits") == F.col("_k")).alias("maybe_present"))

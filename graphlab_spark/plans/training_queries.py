@@ -821,6 +821,52 @@ def t31(spark, sf):
     )
 
 
+_BLOOM_HASH = (
+    "CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || v), 1, 12)) "
+    "AS BIGINT) % 8192"
+)
+
+
+@q(
+    "t32_bloom_membership",
+    # Bloom filter (k=4, m=8192) built over doc_id<300, probed over
+    # doc_id<400 — members MUST read present (no false negatives), the
+    # 300-399 band shows the deterministic false-positive pattern; the
+    # oracle replays the identical bit arithmetic. Parked past the
+    # recorded cap BY DESIGN (the sketch family's recorded gate is via
+    # t01/a15 counting/membership; orphan-gated).
+    "WITH mem AS (SELECT CAST(doc_id AS VARCHAR) AS v FROM documents "
+    "WHERE doc_id < 300), "
+    f"bits AS (SELECT DISTINCT {_BLOOM_HASH} AS bit "
+    "FROM mem CROSS JOIN generate_series(0, 3) AS t(i)), "
+    "pr AS (SELECT CAST(doc_id AS VARCHAR) AS v FROM documents "
+    "WHERE doc_id < 400), "
+    f"pk AS (SELECT DISTINCT v, {_BLOOM_HASH} AS bit "
+    "FROM pr CROSS JOIN generate_series(0, 3) AS t(i)), "
+    "h AS (SELECT pk.v, count(*) AS k, "
+    "SUM(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) AS hits "
+    "FROM pk LEFT JOIN bits ON bits.bit = pk.bit GROUP BY 1) "
+    "SELECT v AS doc_id_str, hits = k AS maybe_present FROM h",
+    "Bloom-filter membership: ≤ m-bit state regardless of key "
+    "cardinality, union-mergeable, zero false negatives — the "
+    "crawl-frontier 'seen url' primitive",
+)
+def t32(spark, sf):
+    from graphlab_spark.operators.sketch import bloom_build, bloom_probe
+
+    docs = _t(spark, sf, "documents")
+    mem = docs.filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("string").alias("v")
+    )
+    probes = docs.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").cast("string").alias("v")
+    )
+    bloom = bloom_build(mem, "v")
+    return bloom_probe(bloom, probes, "v").select(
+        F.col("v").alias("doc_id_str"), "maybe_present"
+    )
+
+
 @q(
     "t13_url_canonical",
     # Expected canonicalization stated BY CONSTRUCTION: the Spark side
@@ -2160,6 +2206,7 @@ reorder_registry_last(
         "t29_datacard",
         "t30_inverted_index",
         "t31_cms_heavy_hitters",
+        "t32_bloom_membership",
         "m05_audio_meta",
         "m06_video_meta",
         "t06_token_budget_packing",

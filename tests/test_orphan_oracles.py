@@ -75,6 +75,7 @@ def test_cap_split_is_intentional():
         "t29_datacard",
         "t30_inverted_index",
         "t31_cms_heavy_hitters",
+        "t32_bloom_membership",
         "m05_audio_meta",
         "m06_video_meta",
         "t06_token_budget_packing",

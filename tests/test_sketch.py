@@ -58,3 +58,34 @@ def test_cms_probe_plan_broadcasts(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from graphlab_spark.operators.sketch import bloom_build, bloom_probe
+
+    mem = _vals(spark, [f"url-{i}" for i in range(200)])
+    bloom = bloom_build(mem, n_hashes=4, n_bits=8192)
+    assert bloom.count() <= 8192
+    got = {
+        r.value: r.maybe_present
+        for r in bloom_probe(bloom, mem, n_hashes=4, n_bits=8192).collect()
+    }
+    assert all(got.values())  # every member reads present — always
+
+    # merge = union-distinct of bit tables ≡ building over the union
+    a = _vals(spark, ["p", "q"])
+    b = _vals(spark, ["q", "r"])
+    merged = bloom_build(a).unionByName(bloom_build(b)).distinct()
+    full = bloom_build(_vals(spark, ["p", "q", "r"]))
+    assert {r.bit for r in merged.collect()} == {r.bit for r in full.collect()}
+
+
+def test_bloom_rejects_most_non_members(spark):
+    from graphlab_spark.operators.sketch import bloom_build, bloom_probe
+
+    mem = _vals(spark, [f"url-{i}" for i in range(100)])
+    bloom = bloom_build(mem, n_hashes=4, n_bits=8192)
+    alien = _vals(spark, [f"other-{i}" for i in range(200)])
+    got = [r.maybe_present for r in bloom_probe(bloom, alien).collect()]
+    # fp rate at k=4, n=100, m=8192 is ~1e-5 — 200 probes: expect 0 hits
+    assert sum(got) == 0
