@@ -149,3 +149,61 @@ def bloom_probe(
         )
     )
     return hits.select(col, (F.col("_hits") == F.col("_k")).alias("maybe_present"))
+
+
+def _hll_cols(col: Column, p: int):
+    """(bucket, rho) for one value: 60-bit md5 hash h; bucket = h mod
+    2^p; w = h >> p (60−p bits); rho = leading zeros of w + 1, computed
+    as pure integer comparisons (no float log — exact in any engine)."""
+    m = 1 << p
+    wbits = 60 - p
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    # shift/mask, never float division — a 60-bit h loses low bits as a
+    # double above 2^53
+    bucket = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p)
+    # bit_length(w) = Σ_i [w >= 2^i]; rho = wbits − bit_length + 1
+    bl = None
+    for i in range(wbits):
+        term = (w >= F.lit(1 << i)).cast("int")
+        bl = term if bl is None else bl + term
+    return bucket, (F.lit(wbits) - bl + 1).cast("int")
+
+
+def hll_build(values: DataFrame, col: str = "value", p: int = 12) -> DataFrame:
+    """HyperLogLog register table (bucket, reg) — ≤ 2^p rows of state
+    for ANY key cardinality; reg = max rho per bucket, so sketches merge
+    by bucket-wise MAX (again: partial aggregation is the merge). This
+    is the mergeable state behind approx_count_distinct, materialized
+    as a table so increments can union into it across pipeline runs."""
+    bucket, rho = _hll_cols(F.col(col), p)
+    return (
+        values.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bucket-wise max — sketch(A ∪ B) == merge(sketch(A), sketch(B))."""
+    return (
+        a.unionByName(b).groupBy("bucket").agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> float:
+    """Standard HLL estimator over the register table (driver-side —
+    the table is ≤ 2^p rows): alpha·m²/Σ2^(−reg), with the small-range
+    linear-counting correction. Float by nature — gate the REGISTERS
+    (exact integers), pin the estimate's accuracy in pytest."""
+    import math
+
+    m = 1 << p
+    regs = {r.bucket: r.reg for r in registers.collect()}
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -regs.get(i, 0) for i in range(m))
+    est = alpha * m * m / s
+    zeros = m - len([v for v in regs.values() if v > 0])
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est

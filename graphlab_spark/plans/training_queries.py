@@ -867,6 +867,47 @@ def t32(spark, sf):
     )
 
 
+def _hll_sql(p: int = 12) -> str:
+    m = 1 << p
+    wbits = 60 - p
+    bl = " + ".join(
+        f"CASE WHEN w >= {1 << i} THEN 1 ELSE 0 END" for i in range(wbits)
+    )
+    return (
+        "WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS x FROM documents), "
+        "h AS (SELECT CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) AS h "
+        "FROM v), "
+        f"wb AS (SELECT h & {m - 1} AS bucket, h >> {p} AS w FROM h) "
+        f"SELECT CAST(bucket AS INT) AS bucket, "
+        f"CAST(MAX({wbits} - ({bl}) + 1) AS INT) AS reg FROM wb GROUP BY bucket"
+    )
+
+
+@q(
+    "t33_hll_registers",
+    # HyperLogLog register table over doc_id strings — the MERGEABLE
+    # STATE behind approx-distinct, gated exactly (registers are
+    # integers; the float estimate is pytest-pinned instead). The
+    # 48-term bit-length ladder is generated identically for both
+    # engines; shift/mask hashing, never float division. Parked past
+    # the recorded cap BY DESIGN (a16 carries the distinct-count
+    # family's recorded gate); orphan-gated.
+    _hll_sql(),
+    "HyperLogLog cardinality registers: ≤ 2^p rows of state for any "
+    "key cardinality, bucket-wise-MAX mergeable — the incremental "
+    "approx-distinct a crawl ledger keeps across snapshots",
+)
+def t33(spark, sf):
+    from graphlab_spark.operators.sketch import hll_build
+
+    vals = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("v")
+    )
+    return hll_build(vals, "v").select(
+        F.col("bucket").cast("int").alias("bucket"), "reg"
+    )
+
+
 @q(
     "t13_url_canonical",
     # Expected canonicalization stated BY CONSTRUCTION: the Spark side
@@ -2207,6 +2248,7 @@ reorder_registry_last(
         "t30_inverted_index",
         "t31_cms_heavy_hitters",
         "t32_bloom_membership",
+        "t33_hll_registers",
         "m05_audio_meta",
         "m06_video_meta",
         "t06_token_budget_packing",

@@ -76,6 +76,7 @@ def test_cap_split_is_intentional():
         "t30_inverted_index",
         "t31_cms_heavy_hitters",
         "t32_bloom_membership",
+        "t33_hll_registers",
         "m05_audio_meta",
         "m06_video_meta",
         "t06_token_budget_packing",

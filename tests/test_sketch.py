@@ -89,3 +89,33 @@ def test_bloom_rejects_most_non_members(spark):
     got = [r.maybe_present for r in bloom_probe(bloom, alien).collect()]
     # fp rate at k=4, n=100, m=8192 is ~1e-5 — 200 probes: expect 0 hits
     assert sum(got) == 0
+
+
+def test_hll_registers_merge_and_estimate(spark):
+    from graphlab_spark.operators.sketch import hll_build, hll_estimate, hll_merge
+
+    a = _vals(spark, [f"u{i}" for i in range(3000)])
+    b = _vals(spark, [f"u{i}" for i in range(1500, 4500)])  # 1500 overlap
+    sk_a, sk_b = hll_build(a), hll_build(b)
+    merged = hll_merge(sk_a, sk_b)
+    full = hll_build(a.unionByName(b))
+    assert {(r.bucket, r.reg) for r in merged.collect()} == {
+        (r.bucket, r.reg) for r in full.collect()
+    }
+    # estimate within the canonical ~1.04/sqrt(m) band (p=12 → ~1.6%);
+    # allow 4 sigma
+    est = hll_estimate(merged)
+    assert abs(est - 4500) / 4500 < 0.065
+    # duplicate-insensitive: rebuilding over the same keys twice is a
+    # no-op on the registers
+    dup = hll_build(a.unionByName(a))
+    assert {(r.bucket, r.reg) for r in dup.collect()} == {
+        (r.bucket, r.reg) for r in hll_build(a).collect()
+    }
+
+
+def test_hll_state_bound(spark):
+    from graphlab_spark.operators.sketch import hll_build
+
+    vals = spark.range(50_000).select(F.col("id").cast("string").alias("value"))
+    assert hll_build(vals, p=8).count() <= 256
