@@ -540,6 +540,24 @@ def main() -> None:
         "kg_adjacency grouped on src", "hashpartitioning(src" in p
     )
 
+    # 22. sketch family: bounded-state aggregations, broadcast probes,
+    # no Python, no cartesian anywhere
+    for name in ["t31_cms_heavy_hitters", "t32_bloom_membership", "t33_hll_registers"]:
+        p = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        ok_all &= check(f"{name} partial-aggregates", "partial_" in p)
+        ok_all &= check(f"{name} no Python", "EvalPython" not in p)
+        ok_all &= check(f"{name} no CartesianProduct", "CartesianProduct" not in p)
+
+    # 22a. e13 band join: equi-join on the bin key, never a nested loop
+    p = plan_of(REGISTRY["e13_band_join"].fn(spark, sf_dir))
+    ok_all &= check("e13 no BroadcastNestedLoopJoin", "BroadcastNestedLoopJoin" not in p)
+    ok_all &= check("e13 no CartesianProduct", "CartesianProduct" not in p)
+
+    # 22b. t30 inverted index: JVM tokenize, term-keyed aggregation
+    p = plan_of(REGISTRY["t30_inverted_index"].fn(spark, sf_dir))
+    ok_all &= check("t30 no Python", "EvalPython" not in p)
+    ok_all &= check("t30 grouped on term", "hashpartitioning(term" in p)
+
     print("\nAUDIT", "PASS" if ok_all else "HAS WARNINGS")
     sys.exit(0 if ok_all else 1)
 
