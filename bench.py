@@ -124,6 +124,15 @@ def main() -> None:
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("ann_bruteforce", lambda: _count(ANN.brute_force_topk(embs, list(range(50)), k=10)))
     timed("ann_ivf", lambda: _count(ANN.ivf_topk(embs, list(range(50)), k=10)))
+    # r5: IVF-PQ with exact refine — the compressed-index serving path
+    # (16 small ints/vector, probed-cell code scan + top-50 exact re-rank)
+    from graphlab_spark.operators.ann_pq import ivfpq_topk, load_pq_model
+
+    pq_model = load_pq_model(spark)
+    timed(
+        "ann_ivfpq_refine",
+        lambda: _count(ivfpq_topk(embs, list(range(50)), k=10, refine=50, model=pq_model)),
+    )
 
     # --- r4 curation additions at full table scale
     from graphlab_spark.functions.lm import perplexity_frame

@@ -382,14 +382,26 @@ def gopher_quality_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "t
 
     Pure JVM column expressions over the words/lines arrays — zero
     shuffle; the repetition rules live in repetition_stats (cross-gram)
-    and doc_dup_line_stats (within-doc structure)."""
+    and doc_dup_line_stats (within-doc structure).
+
+    The words/lines/lowered-words arrays are HOISTED into their own
+    projection: referencing split(...) inside a higher-order lambda
+    (the stop-word containment check iterates the stopword array)
+    would re-split and re-lower the whole text once per stopword."""
     t = F.col(text)
-    words = F.split(F.trim(t), r"\s+")
-    lines = F.split(t, "\n")
+    docs = docs.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.split(F.trim(t), r"\s+").alias("_words"),
+        F.split(t, "\n").alias("_lines"),
+    ).withColumn("_lw", F.transform(F.col("_words"), lambda w: F.lower(w)))
+    t = F.col("_t")
+    words = F.col("_words")
+    lines = F.col("_lines")
     n_words = F.size(words)
     n_lines = F.size(lines)
-    wchars = F.expr(
-        f"aggregate(split(trim({text}), '\\\\s+'), 0L, (a, x) -> a + length(x))"
+    wchars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
     mean_wl = wchars * 1.0 / n_words
     n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
@@ -418,9 +430,7 @@ def gopher_quality_stats(docs: DataFrame, id_col: str = "doc_id", text: str = "t
     stop_hits = F.size(
         F.filter(
             F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
-            lambda sw: F.array_contains(
-                F.transform(words, lambda w: F.lower(w)), sw
-            ),
+            lambda sw: F.array_contains(F.col("_lw"), sw),
         )
     )
     passes = (

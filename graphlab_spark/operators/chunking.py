@@ -36,8 +36,11 @@ def chunk_documents(
     """
     if not (0 < stride <= size):
         raise ValueError("need 0 < stride <= size")
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
+    # Hoist the token array (and its size) into a projection: referencing
+    # split(text) inside the transform lambda re-splits the text once per
+    # chunk window — the O(tokens²) anti-pattern documented at shingled().
+    toks = F.col("_toks")
+    n = F.col("_n")
     chunks = F.transform(
         F.sequence(F.lit(0), n - 1, F.lit(stride)),
         lambda s: F.struct(
@@ -46,8 +49,11 @@ def chunk_documents(
             F.least(F.lit(size), n - s).cast("long").alias("n_tokens"),
         ),
     )
-    return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
-        id_col, "c.chunk_id", "c.chunk_text", "c.n_tokens"
+    return (
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        .withColumn("_n", F.size(toks))
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_id", "c.chunk_text", "c.n_tokens")
     )
 
 

@@ -1,8 +1,9 @@
 """Entity co-mention statistics over the KG mention stream.
 
-Reference parity: the reference surfaces related-entity exploration over
-its paper graph (``backend/app/services/graph_service.py`` neighborhood
-queries); co-mention PMI is the corpus-statistics primitive behind it —
+Reference parity: the reference stores its paper/keyword graph in Neo4j
+(``backend/app/utils/neo4j_client.py``), where related-entity
+exploration is a Cypher neighborhood query; co-mention PMI is the
+corpus-statistics primitive behind such exploration —
 two surface forms that co-occur in the same documents far above chance
 are related (and are linking/merge candidates that pure string or
 embedding similarity misses).

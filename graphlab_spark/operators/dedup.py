@@ -136,9 +136,32 @@ def _hash_params(n: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 _HASH_A, _HASH_B = _hash_params(N_HASHES)
 
 
+def _mulmod61(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """(x·y) mod 2^61−1 with NO intermediate overflow — numpy int64 has
+    no int128, so a naive ``(x*y) % p`` silently wraps mod 2^64 first
+    and the permutations stop being the claimed universal-hash family.
+    Split multiply: x = x1·2^31 + x0, y likewise; fold 2^62 ≡ 2 and
+    2^61 ≡ 1 (mod p). Every intermediate stays < 2^63. Inputs must
+    already be reduced mod p (so x1, y1 < 2^30; x0, y0 < 2^31)."""
+    p = _MERSENNE
+    x1, x0 = x >> 31, x & 0x7FFFFFFF
+    y1, y0 = y >> 31, y & 0x7FFFFFFF
+    t = (2 * x1 * y1) % p  # x1·y1·2^62 ≡ 2·x1·y1
+    mid = (x1 * y0 + x0 * y1) % p  # (cross)·2^31 term, pre-shift
+    m1, m0 = mid >> 30, mid & 0x3FFFFFFF  # mid·2^31 = m1·2^61 + m0·2^31
+    t = (t + m1 + (m0 << 31)) % p
+    return (t + x0 * y0) % p
+
+
+def _permute_min(hv: np.ndarray) -> list:
+    """min over rows of the (m, k) permuted-hash matrix
+    (a·h + b) mod 2^61−1, exact 61-bit arithmetic."""
+    ph = (_mulmod61(hv[:, None], _HASH_A[None, :]) + _HASH_B[None, :]) % _MERSENNE
+    return ph.min(axis=0).tolist()
+
+
 def _minhash_batch(shingle_lists: pd.Series) -> pd.Series:
     """Vectorized minhash signatures: one numpy pass per Arrow batch."""
-    a, b = _HASH_A, _HASH_B
     out = []
     for sh in shingle_lists:
         if sh is None or len(sh) == 0:
@@ -147,9 +170,7 @@ def _minhash_batch(shingle_lists: pd.Series) -> pd.Series:
         hv = np.array(
             [hash_shingle(s) for s in sh], dtype=np.int64
         )  # (m,)
-        # (m, k) permuted hashes mod mersenne prime, min per column
-        ph = (hv[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-        out.append(ph.min(axis=0).tolist())
+        out.append(_permute_min(hv))
     return pd.Series(out)
 
 
@@ -183,8 +204,7 @@ def minhash_hashes_udf(hashes: pd.Series) -> pd.Series:
             out.append([0] * N_HASHES)
             continue
         h = np.asarray(hv, dtype=np.int64) % _MERSENNE
-        ph = (h[:, None] * _HASH_A[None, :] + _HASH_B[None, :]) % _MERSENNE
-        out.append(ph.min(axis=0).tolist())
+        out.append(_permute_min(h))
     return pd.Series(out)
 
 
@@ -516,8 +536,14 @@ def duplicate_spans(
     A span's tokens can then be cut from the doc (the paper's policy)
     or the doc dropped above a duplication ratio — both downstream
     one-liners on this frame.
+
+    The token array is HOISTED into its own projection before the
+    ``transform`` lambda (the ``shingled`` two-projection form above):
+    referencing ``split(text)`` inside the lambda body would re-split
+    the text once per gram index — O(tokens²) per doc, measured 9×
+    slower on 600-token docs and growing linearly with doc length.
     """
-    toks = F.split(F.col(text_col), " ")
+    toks = F.col("_toks")
     n = F.size(toks)
     pos_grams = F.when(
         n >= k,
@@ -531,7 +557,8 @@ def duplicate_spans(
     ).otherwise(F.array().cast("array<struct<pos:long,gram:string>>"))
     gram_col = F.xxhash64("pg.gram") if hash_grams else F.col("pg.gram")
     g = (
-        docs.select(F.col(id_col), F.explode(pos_grams).alias("pg"))
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+        .select(F.col(id_col), F.explode(pos_grams).alias("pg"))
         .select(id_col, F.col("pg.pos").alias("pos"), gram_col.alias("gram"))
     )
     dup = (
@@ -590,17 +617,24 @@ def cut_duplicate_spans(
     j = docs.join(sp, id_col, "left").withColumn(
         "_sp", F.coalesce(F.col("_sp"), empty)
     )
-    toks = F.split(F.col(text_col), " ")
-    kept = F.filter(
-        toks,
-        lambda x, i: ~F.exists(
-            "_sp",
-            lambda r: (i >= r["span_start"]) & (i < r["span_end"]),
+    # Hoist split and the higher-order filter into projections: `kept`
+    # is consumed three times below, and an inline expression would
+    # re-run the filter (and re-split the text) per consumer.
+    j = j.withColumn("_toks", F.split(F.col(text_col), " ")).withColumn(
+        "_kept",
+        F.filter(
+            F.col("_toks"),
+            lambda x, i: ~F.exists(
+                "_sp",
+                lambda r: (i >= r["span_start"]) & (i < r["span_end"]),
+            ),
         ),
     )
     return j.select(
         F.col(id_col),
-        F.array_join(kept, " ").alias("clean_text"),
-        F.size(kept).cast("long").alias("n_tokens_kept"),
-        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        F.array_join(F.col("_kept"), " ").alias("clean_text"),
+        F.size(F.col("_kept")).cast("long").alias("n_tokens_kept"),
+        (F.size(F.col("_toks")) - F.size(F.col("_kept")))
+        .cast("long")
+        .alias("n_tokens_removed"),
     )

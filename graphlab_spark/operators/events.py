@@ -164,28 +164,36 @@ def asof_join(
     time buckets (process buckets independently, seeding each bucket
     with the previous bucket's last right row) — the same time-sliced
     recipe Structured Streaming's state store uses.
+
+    The right payload is carried forward as ONE struct with a single
+    ``last(ignorenulls)`` — never per-column: per-column carry would
+    let a right row with a legitimately NULL payload column hand that
+    column to an OLDER right row while the other columns come from the
+    newer one, synthesizing a composite right record that never
+    existed. All ``{prefix}*`` columns always come from the same
+    matched right row.
     """
     rpayload = [c for c in right.columns if c not in (key, ts)]
     lpayload = [c for c in left.columns if c not in (key, ts)]
-    rtypes = {f.name: f.dataType for f in right.schema.fields}
     ltypes = {f.name: f.dataType for f in left.schema.fields}
+    rstruct = F.struct(
+        F.col(ts).alias(prefix + ts),
+        *[F.col(c).alias(prefix + c) for c in rpayload],
+    )
+    rstruct_type = right.select(rstruct.alias("_r")).schema["_r"].dataType
     l2 = left.select(
         F.col(key),
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lpayload],
-        *[
-            F.lit(None).cast(rtypes[c]).alias(prefix + c)
-            for c in [ts] + rpayload
-        ],
+        F.lit(None).cast(rstruct_type).alias("_r"),
     )
     r2 = right.select(
         F.col(key),
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lpayload],
-        F.col(ts).alias(prefix + ts),
-        *[F.col(c).alias(prefix + c) for c in rpayload],
+        rstruct.alias("_r"),
     )
     from pyspark.sql import Window
 
@@ -199,16 +207,13 @@ def asof_join(
         F.col("_ts"),
         "_side",
         *[F.col(c) for c in lpayload],
-        *[
-            F.last(prefix + c, ignorenulls=True).over(w).alias(prefix + c)
-            for c in [ts] + rpayload
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
     return carried.filter(F.col("_side") == 1).select(
         F.col(key),
         F.col("_ts").alias(ts),
         *[F.col(c) for c in lpayload],
-        *[F.col(prefix + c) for c in [ts] + rpayload],
+        *[F.col(f"_r.{prefix}{c}").alias(prefix + c) for c in [ts] + rpayload],
     )
 
 

@@ -478,8 +478,8 @@ def two_hop_paths(
 ) -> DataFrame:
     """Typed 2-hop motif match: distinct (src, mid, dst) with
     src -[pred1]-> mid -[pred2]-> dst. The basic graph-pattern query
-    (Cypher ``(a)-[:P1]->(b)-[:P2]->(c)``; ref
-    backend/app/services/graph_service.py neighborhood traversals).
+    (Cypher ``(a)-[:P1]->(b)-[:P2]->(c)``) over the graph the reference
+    materializes into Neo4j (`backend/app/utils/neo4j_client.py`).
 
     Scale shape: both predicate filters are plain column predicates, so
     they PUSH DOWN to the edge-table scan (a predicate-partitioned or
@@ -631,6 +631,11 @@ def personalized_pagerank(
     loop with scratch-pinned rank vectors, per-iteration dangling mass
     folded into the rank-update job — zero mid-loop driver syncs.
     Float sums ⇒ compared with tolerance/rounding, never hash-gated.
+
+    Seeds are DEDUPED up front and the teleport vector is uniform over
+    the seeds PRESENT in the graph (absent seeds are dropped with the
+    mass renormalized over the rest — ranks always sum to 1; all seeds
+    absent raises). Both paths share the exact same seed semantics.
     """
     import uuid
 
@@ -638,6 +643,7 @@ def personalized_pagerank(
 
     if not seeds:
         raise ValueError("personalized_pagerank requires a non-empty seed set")
+    seeds = sorted(set(seeds))
     tag = f"ppr_{uuid.uuid4().hex[:8]}"
     spark = edges.sparkSession
     e = edges.select("src", "dst").distinct()
@@ -657,13 +663,22 @@ def personalized_pagerank(
             cleanup_prefix(tag)
             pairs = [(r.src, r.dst) for r in e.collect()]
             return spark.createDataFrame(
-                _ppr_driver(pairs, set(seeds), damping, n_iter),
+                _ppr_driver(pairs, seeds, damping, n_iter),
                 "id string, rank double",
             )
-    seed_df = F.broadcast(
-        spark.createDataFrame([(s, 1.0 / len(seeds)) for s in sorted(set(seeds))],
-                              "id string, tp double")
+    present = materialize(
+        nodes.join(
+            F.broadcast(spark.createDataFrame([(s,) for s in seeds], "id string")),
+            "id",
+            "left_semi",
+        ),
+        f"{tag}_seeds",
     )
+    k = present.count()
+    if k == 0:
+        cleanup_prefix(tag)
+        raise ValueError("personalized_pagerank: no seed present in the graph")
+    seed_df = F.broadcast(present.withColumn("tp", F.lit(1.0 / k)))
     nodes_tp = materialize(
         nodes.join(seed_df, "id", "left").fillna(0.0, ["tp"]), f"{tag}_tp"
     )
@@ -702,16 +717,18 @@ def personalized_pagerank(
         if i > 0:
             cleanup_prefix(f"{tag}_iter_{i - 1:04d}")
     cleanup_prefix(f"{tag}_nodes")
+    cleanup_prefix(f"{tag}_seeds")
     cleanup_prefix(f"{tag}_tp")
     cleanup_prefix(f"{tag}_dangling")
     return ranks
 
 
 def _ppr_driver(
-    pairs: list[tuple[str, str]], seeds: set, damping: float, n_iter: int
+    pairs: list[tuple[str, str]], seeds: list, damping: float, n_iter: int
 ) -> list[tuple[str, float]]:
     """Driver fast path for :func:`personalized_pagerank` — identical
-    formulation, sparse numpy power iteration."""
+    formulation (teleport uniform over PRESENT unique seeds), sparse
+    numpy power iteration."""
     import numpy as np
 
     ids = sorted({s for s, _ in pairs} | {d for _, d in pairs})
@@ -722,9 +739,11 @@ def _ppr_driver(
     out = np.bincount(src, minlength=n).astype(np.float64)
     no_out = out == 0
     tp = np.zeros(n)
-    present = [v for v in sorted(seeds) if v in pos]
+    present = [v for v in sorted(set(seeds)) if v in pos]
+    if not present:
+        raise ValueError("personalized_pagerank: no seed present in the graph")
     for v in present:
-        tp[pos[v]] = 1.0 / len(seeds)
+        tp[pos[v]] = 1.0 / len(present)
     r = tp.copy()
     for _ in range(n_iter):
         contrib = np.bincount(dst, weights=r[src] / np.where(out > 0, out, 1.0)[src], minlength=n)

@@ -201,3 +201,51 @@ class Manifest:
             .agg(F.count(F.lit(1)).alias("rows_out"))
             .withColumn("rows_in", F.col("rows_out"))
         )
+
+    # ------------------------------------------------- HLL distinct-keys
+    # An exact distinct-url counter across run snapshots needs state the
+    # size of the key space; the HLL register table (operators/sketch.py)
+    # is the bounded mergeable answer: ≤ 2^p rows per (run, stage),
+    # merged across snapshots by bucket-wise MAX. The table is a pure
+    # AUDIT side table — appended outside the resume fingerprint
+    # protocol, never data-bearing; appending the same registers twice
+    # (a resumed run) cannot change the merged estimate (max is
+    # idempotent).
+
+    def record_key_registers(
+        self, run_id: str, stage: str, data: DataFrame, key_col: str = "url",
+        p: int = 12,
+    ) -> None:
+        """Append (run_id, stage, bucket, reg) HLL registers of
+        ``data[key_col]`` to the ``{path}_hll`` side table — one
+        partial-aggregated groupBy over ≤ 2^p buckets."""
+        from graphlab_spark.operators.sketch import hll_build
+
+        regs = hll_build(data.select(F.col(key_col).alias("value")), "value", p)
+        regs.select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(stage).alias("stage"),
+            F.col("bucket"),
+            F.col("reg"),
+        ).write.mode("append").parquet(f"{self.path}_hll")
+
+    def approx_distinct_keys(
+        self,
+        run_ids: list[str] | None = None,
+        stages: list[str] | None = None,
+        p: int = 12,
+    ) -> float:
+        """Approximate distinct keys across the selected snapshots:
+        bucket-wise MAX merge of every matching register set, then the
+        standard HLL estimator (driver-side — the merged table is
+        ≤ 2^p rows). sketch(A ∪ B) == merge(sketch(A), sketch(B)), so
+        the estimate over N runs never rescans any run's data."""
+        from graphlab_spark.operators.sketch import hll_estimate
+
+        t = self.spark.read.parquet(f"{self.path}_hll")
+        if run_ids is not None:
+            t = t.filter(F.col("run_id").isin(run_ids))
+        if stages is not None:
+            t = t.filter(F.col("stage").isin(stages))
+        merged = t.groupBy("bucket").agg(F.max("reg").alias("reg"))
+        return hll_estimate(merged, p)

@@ -15,9 +15,10 @@ deterministic Lloyd iterations, seeded init) and committed — the LM /
 BPE fixture pattern — so both Spark and the DuckDB oracle score the
 identical model.
 
-Reference parity: the reference canonicalizes near-duplicate entities
-before graph writes (`backend/app/services/graph_entity.py` dedup on
-normalized names); this is the embedding-space analog over the corpus.
+Reference parity: the reference dedups entities on normalized surface
+forms before writes (`backend/app/services/research_keyword.py:98-128`,
+duplicate detection + skip/merge modes over normalized terms); this is
+the embedding-space analog of that normalization over the corpus.
 
 Plan shape: centroid assignment is a BROADCAST cross join (K rows) +
 one partial-aggregated ``max_by`` per vec (pure JVM). Within-cell pair

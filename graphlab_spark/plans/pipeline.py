@@ -538,6 +538,11 @@ def run_pipeline(
         f"{out_dir}/docs",
         fp_cols=["url", "warc_ts"],  # recrawl of a url ⇒ new fingerprint
     )
+    # approx-distinct-url telemetry across snapshots: bounded HLL
+    # registers per (run_id, stage) in the manifest's side table —
+    # audit-only, outside the resume fingerprint protocol (idempotent
+    # under re-runs: registers merge by max)
+    manifest.record_key_registers(run_id, "extract", docs, "url")
     mentions = run_stage(
         spark, manifest, run_id, "mentions", docs.select("url", "text"), "url",
         lambda d: mentions_stage(spark, d, alias_map), f"{out_dir}/mentions",

@@ -162,3 +162,25 @@ def test_line_dedup_keeper_and_guards(spark):
     # min_count=3: the 3x shared line goes, the 2x within-doc repeat stays
     got3 = {r.doc_id: r for r in line_dedup(docs, min_count=3).collect()}
     assert got3[2].n_removed == 1 and got3[4].n_removed == 0
+
+
+def test_mulmod61_exact_vs_bigint():
+    """r4 ADVICE: the minhash permutation multiply must be exact mod
+    2^61-1 — numpy int64 naive (h*a) wraps mod 2^64 first, silently
+    leaving the claimed universal-hash family."""
+    import numpy as np
+
+    from graphlab_spark.operators.dedup import _MERSENNE, _mulmod61
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, _MERSENNE, size=512, dtype=np.int64)
+    y = rng.randint(0, _MERSENNE, size=512, dtype=np.int64)
+    got = _mulmod61(x, y)
+    exp = np.array(
+        [(int(a) * int(b)) % _MERSENNE for a, b in zip(x, y)], dtype=np.int64
+    )
+    assert (got == exp).all()
+    for a in (0, 1, _MERSENNE - 1, (1 << 60) + 12345):
+        for b in (0, 1, _MERSENNE - 1, (1 << 60) + 999):
+            g = int(_mulmod61(np.array([a]), np.array([b]))[0])
+            assert g == (a * b) % _MERSENNE, (a, b, g)

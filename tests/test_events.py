@@ -338,3 +338,26 @@ def test_band_join_plan_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_null_payload_column_not_blended(spark):
+    """r4 ADVICE: a right row with a legitimately NULL payload column
+    must NOT hand that column to an older right row — all r_* columns
+    come from the same matched right row (single-struct carry)."""
+    from graphlab_spark.operators.events import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 50), (1, 150)], "user_id int, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "old_price", "old_cat"), (1, 100, None, "new_cat")],
+        "user_id int, ts long, price string, cat string",
+    )
+    got = {r.ts: r for r in asof_join(left, right).collect()}
+    # left@50 matches right@10 fully
+    assert (got[50].r_price, got[50].r_cat) == ("old_price", "old_cat")
+    # left@150 matches right@100: price must be NULL (that row's value),
+    # never "old_price" blended in from right@10
+    assert got[150].r_ts == 100
+    assert got[150].r_cat == "new_cat"
+    assert got[150].r_price is None

@@ -482,3 +482,34 @@ def test_ppr_empty_seeds_raises(spark, edges):
 
     with _pytest.raises(ValueError):
         personalized_pagerank(edges, [])
+
+
+def test_ppr_duplicate_and_absent_seeds_normalized(spark, edges):
+    """r4 ADVICE: duplicate seeds must not skew the teleport vector
+    (both paths dedup up front), absent seeds renormalize over the
+    present ones, and all-absent raises — on BOTH paths."""
+    import pytest as _pytest
+
+    from graphlab_spark.operators.graph_query import personalized_pagerank
+
+    base = {
+        r.id: r.rank for r in personalized_pagerank(edges, ["a"], n_iter=15).collect()
+    }
+    for seeds in (["a", "a", "a"], ["a", "zzz_not_in_graph"]):
+        for dmax in (100_000, 0):  # driver fast path and distributed loop
+            got = {
+                r.id: r.rank
+                for r in personalized_pagerank(
+                    edges, seeds, n_iter=15, driver_max_nodes=dmax
+                ).collect()
+            }
+            assert set(got) == set(base)
+            for k in base:
+                assert abs(got[k] - base[k]) < 1e-9, (seeds, dmax, k)
+            assert abs(sum(got.values()) - 1.0) < 1e-9
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, ["zzz_not_in_graph"], n_iter=3)
+    with _pytest.raises(ValueError):
+        personalized_pagerank(
+            edges, ["zzz_not_in_graph"], n_iter=3, driver_max_nodes=0
+        )

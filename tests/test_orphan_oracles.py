@@ -40,10 +40,39 @@ def test_cap_split_is_intentional():
     names = list(E.queries())
     oracles = E.oracle_sql()
     # every oracled entry past the cap must be one we consciously parked
-    # r4 rotation (see reorder_registry_last in plans/training_queries):
-    # these ten have identical recorded passes in CORRECTNESS_r01–r03 and
-    # rotate out so the r3 past-cap gates get driver records this round.
+    # r5 rotation (see reorder_registry_last in plans/training_queries):
+    # every parked entry below carries an r1–r4 driver record; the r4
+    # zero-record gates, the r5 changed-code operators, and the two new
+    # r5 operators (s04, c16) hold the recorded window this round.
     parked_oracled = {
+        "a03_ilike_search",
+        "a15_anti_join_new_only",
+        "a27_rollup_subtotals",
+        "a28_pivot_event_matrix",
+        "e04_sliding_window_counts",
+        "e05_value_percentiles",
+        "e07_funnel_stages",
+        "e08_cohort_retention",
+        "e09_resampled_counts",
+        "e10_anomalous_hours",
+        "d08_semantic_dedup",
+        "m01_media_meta",
+        "m04_media_features",
+        "t09_domain_quota",
+        "t08_benchmark_contamination",
+        "t10_repetition_stats",
+        "t11_pii_redaction",
+        "t12_bpe_token_count",
+        "t13_url_canonical",
+        "t14_line_dedup",
+        "t15_doc_dup_structure",
+        "t22_normalize_text",
+        "t23_temperature_mixture",
+        "t26_mixture_sample",
+        "t18_lm_perplexity",
+        "t19_shuffled_packing",
+        "c11_salted_join",
+        "t25_bm25_ranking",
         "e01_windowed_event_counts",
         "e02_user_sessions",
         "e03_props_json_stats",
@@ -53,32 +82,6 @@ def test_cap_split_is_intentional():
         "t04_fingerprint",
         "d01_exact_dup_groups",
         "d03_ngram_jaccard_pairs",
-        "a29_cube_subtotals",
-        "a30_semi_join_exists",
-        "a31_table_stats",
-        "a32_zorder_key",
-        "e11_funnel_summary",
-        "e13_band_join",
-        "e12_interval_range_join",
-        "kg_node_provenance",
-        "kg_negative_samples",
-        "c15_crawl_delta",
-        "kg_graph_delta",
-        "kg_adjacency",
-        "kg_entity_types",
-        "kg_var_paths",
-        "kg_clustering_coeff",
-        "kg_random_walks",
-        "kg_skipgram_pairs",
-        "t27_bpe_token_ids",
-        "t28_quality_classifier",
-        "t29_datacard",
-        "t30_inverted_index",
-        "t31_cms_heavy_hitters",
-        "t32_bloom_membership",
-        "t33_hll_registers",
-        "m05_audio_meta",
-        "m06_video_meta",
         "t06_token_budget_packing",
         "t07_winnowing_fp",
         "t05_stratified_sample",
@@ -117,8 +120,7 @@ def test_cap_split_is_intentional():
     # and every in-cap entry is oracled (no wasted driver rows)
     assert all(n in oracles for n in names[:DRIVER_CAP])
     # the kg north-star gates all sit inside the recorded window —
-    # except ones EXPLICITLY parked above (kg_node_provenance: edge
-    # provenance carries this family's recorded gate)
+    # except ones EXPLICITLY parked above
     kg_oracled = {n for n in names if n.startswith("kg_") and n in oracles}
     assert kg_oracled - parked_oracled <= set(names[:DRIVER_CAP])
 

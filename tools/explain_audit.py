@@ -558,6 +558,45 @@ def main() -> None:
     ok_all &= check("t30 no Python", "EvalPython" not in p)
     ok_all &= check("t30 grouped on term", "hashpartitioning(term" in p)
 
+    # 23. GUARD: no split() re-evaluated inside a higher-order lambda
+    # body — the O(tokens²) re-split anti-pattern (shingled r2 →
+    # dup_spans/chunking r4, 9–11× measured waste). Reads the ANALYZED
+    # plan of EVERY registry query, so it sees through Python variable
+    # indirection: a hoisted token array shows up in the lambda body as
+    # a bare attribute reference, an unhoisted one as split(...).
+    def _lambda_bodies(analyzed: str) -> list[str]:
+        bodies = []
+        start = 0
+        while True:
+            i = analyzed.find("lambdafunction(", start)
+            if i < 0:
+                break
+            j = i + len("lambdafunction(")
+            depth = 1
+            while j < len(analyzed) and depth:
+                depth += {"(": 1, ")": -1}.get(analyzed[j], 0)
+                j += 1
+            bodies.append(analyzed[i:j])
+            start = i + len("lambdafunction(")
+        return bodies
+
+    resplit = {}
+    for qname in sorted(REGISTRY):
+        try:
+            qdf = REGISTRY[qname].fn(spark, sf_dir)
+            analyzed = qdf._jdf.queryExecution().analyzed().toString()
+        except Exception as exc:  # pragma: no cover - best-effort sweep
+            resplit[qname] = f"analysis failed: {exc}"
+            continue
+        hits = [b for b in _lambda_bodies(analyzed) if "split(" in b]
+        if hits:
+            resplit[qname] = hits[0][:160]
+    ok_all &= check(
+        f"no split() inside any lambdafunction body ({len(REGISTRY)} registry queries)",
+        not resplit,
+        "; ".join(f"{k}: {v}" for k, v in sorted(resplit.items()))[:600],
+    )
+
     print("\nAUDIT", "PASS" if ok_all else "HAS WARNINGS")
     sys.exit(0 if ok_all else 1)
 
