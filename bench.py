@@ -45,11 +45,11 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     n_pages = int(os.environ.get("SPARK_GRAFT_PAGES", str(max(300, int(sf * 200_000)))))
 
-    import glob
-    import shutil
+    # reclaim only DEAD sessions' scratch roots — never a live
+    # concurrent session's pinned frames (see operators/scratch.py)
+    from graphlab_spark.operators.scratch import reclaim_dead_roots
 
-    for d in glob.glob("/dev/shm/glpipe-*"):
-        shutil.rmtree(d, ignore_errors=True)
+    reclaim_dead_roots()
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     from graphlab_spark.operators import ann as ANN

@@ -27,13 +27,44 @@ _root: list[str] = []
 
 def scratch_dir() -> str:
     """Process-scoped scratch root (tmpfs by default, env-overridable),
-    created lazily once and removed at interpreter exit."""
+    created lazily once and removed at interpreter exit. An ``.owner``
+    pid marker lets external sweepers (bench.py, tools/scaling_bench.py)
+    reclaim roots of DEAD processes without wiping a concurrently-live
+    session's pinned frames (a real mid-run data loss, observed r5)."""
     if not _root:
         base = os.environ.get("SPARK_GRAFT_SCRATCH", "/dev/shm")
         if not os.path.isdir(base):
             base = tempfile.gettempdir()
-        _root.append(tempfile.mkdtemp(prefix="glpipe-", dir=base))
+        d = tempfile.mkdtemp(prefix="glpipe-", dir=base)
+        with open(os.path.join(d, ".owner"), "w") as fh:
+            fh.write(str(os.getpid()))
+        _root.append(d)
     return _root[0]
+
+
+def reclaim_dead_roots(base: str | None = None) -> list[str]:
+    """Remove glpipe-* roots whose owning process is gone (or that
+    predate the .owner marker). NEVER touches a live process's root —
+    the only safe cross-process scratch sweep."""
+    base = base or os.environ.get("SPARK_GRAFT_SCRATCH", "/dev/shm")
+    removed = []
+    import glob as _glob
+
+    for d in _glob.glob(os.path.join(base, "glpipe-*")):
+        if _root and d == _root[0]:
+            continue
+        owner = os.path.join(d, ".owner")
+        alive = False
+        try:
+            pid = int(open(owner).read().strip())
+            os.kill(pid, 0)  # signal 0: existence probe
+            alive = True
+        except (OSError, ValueError):
+            alive = False
+        if not alive:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(d)
+    return removed
 
 
 @atexit.register

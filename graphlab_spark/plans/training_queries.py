@@ -756,6 +756,53 @@ def t27(spark, sf):
     )
 
 
+# DSIR (Xie et al. 2023): hashed unigram+bigram bag models — target
+# slice = five sources. Shared gram/bucket derivation text keeps both
+# engines identical (md5 48-bit bucket, the sketch.py formula).
+_DSIR_TGT = "('src0', 'src1', 'src2', 'src3', 'src4')"
+_DSIR_B = 1024
+
+
+def _dsir_sql() -> str:
+    return (
+        "WITH tk AS (SELECT doc_id, source, "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents), "
+        "g AS (SELECT doc_id, source, unnest(t || list_transform(range(1, len(t)), "
+        "i -> t[i] || ' ' || t[i + 1])) AS gram FROM tk), "
+        "b AS (SELECT doc_id, source, "
+        "CAST(('0x' || substr(md5('g|' || gram), 1, 12)) AS BIGINT) "
+        f"% {_DSIR_B} AS bucket FROM g), "
+        f"tc AS (SELECT bucket, count(*) AS ct FROM b WHERE source IN {_DSIR_TGT} "
+        "GROUP BY bucket), "
+        "rc AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket), "
+        "tot AS (SELECT (SELECT SUM(ct) FROM tc) AS nt, "
+        "(SELECT SUM(cr) FROM rc) AS nr), "
+        "d AS (SELECT rc.bucket, "
+        f"ln((COALESCE(tc.ct, 0) + 1.0) / (tot.nt + {_DSIR_B})) - "
+        f"ln((rc.cr + 1.0) / (tot.nr + {_DSIR_B})) AS delta "
+        "FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot) "
+        "SELECT b.doc_id, ROUND(SUM(d.delta), 6) AS dsir_weight "
+        "FROM b JOIN d USING (bucket) GROUP BY b.doc_id"
+    )
+
+
+@q(
+    "t34_dsir_weights",
+    _dsir_sql(),
+    "DSIR data selection (Xie et al. 2023): per-doc log-likelihood "
+    "ratio under target-slice vs whole-corpus hashed n-gram models — "
+    "both count tables collapse to ≤ B rows and broadcast back; the "
+    "only data-sized shuffle is the per-doc weight sum",
+)
+def t34(spark, sf):
+    from graphlab_spark.operators.dsir import dsir_weights
+
+    return dsir_weights(
+        _t(spark, sf, "documents"),
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+    )
+
+
 @q(
     "t28_quality_classifier",
     # Learned (fastText-style) quality classifier: frozen hashed-BoW
@@ -2152,6 +2199,167 @@ def c16(spark, sf):
     return frontier_new(spark, fdir, g)
 
 
+def _hyperball_sql(t: int = 2, p: int = 4) -> str:
+    """DuckDB replay of hyperball_registers over the golden edges: the
+    same md5 shift/mask register derivation as _hll_sql, with the t
+    merge rounds UNROLLED (each round = union of own + out-neighbor
+    registers, MAX per (id, bucket)) — registers are exact integers, so
+    the compare is hash-level (the t33 precedent)."""
+    m = 1 << p
+    wbits = 60 - p
+    bl = " + ".join(
+        f"CASE WHEN w >= {1 << i} THEN 1 ELSE 0 END" for i in range(wbits)
+    )
+    sql = (
+        "WITH e AS (SELECT DISTINCT src, dst FROM "
+        f"'{REPO_FIXTURES}/golden_edge_prov.parquet'), "
+        "n AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e), "
+        "h AS (SELECT id, CAST(('0x' || substr(md5(id), 1, 15)) AS BIGINT) AS h "
+        "FROM n), "
+        f"r0 AS (SELECT id, h & {m - 1} AS bucket, "
+        f"CAST({wbits} - ({bl}) + 1 AS INT) AS reg "
+        f"FROM (SELECT id, h, h >> {p} AS w FROM h))"
+    )
+    for k in range(t):
+        sql += (
+            f", r{k + 1} AS (SELECT id, bucket, MAX(reg) AS reg FROM ("
+            f"SELECT id, bucket, reg FROM r{k} "
+            f"UNION ALL SELECT e.src AS id, r.bucket, r.reg "
+            f"FROM e JOIN r{k} r ON r.id = e.dst) GROUP BY id, bucket)"
+        )
+    return (
+        sql + f" SELECT id, CAST(bucket AS INT) AS bucket, "
+        f"CAST(reg AS INT) AS reg FROM r{t}"
+    )
+
+
+# deterministic PERTURBED prediction derived from the golden triples so
+# the eval numbers are non-trivial: drop edges whose key-md5 starts
+# '0'/'1' (false negatives), add a reversed copy of edges starting 'f'
+# (false positives)
+_EVAL_KEY = "md5(subj_id || '|' || pred || '|' || obj_id)"
+
+
+@q(
+    "kg_eval_triple_pr",
+    f"WITH g AS (SELECT DISTINCT subj_id AS src, pred, obj_id AS dst, "
+    f"substr({_EVAL_KEY}, 1, 1) AS h FROM '{REPO_FIXTURES}/golden_triples.parquet'), "
+    "p AS (SELECT src, pred, dst FROM g WHERE h NOT IN ('0', '1') "
+    " UNION SELECT dst AS src, pred, src AS dst FROM g WHERE h = 'f'), "
+    "gg AS (SELECT src, pred, dst FROM g), "
+    "hit AS (SELECT p.* FROM p SEMI JOIN gg ON p.src = gg.src "
+    " AND p.pred = gg.pred AND p.dst = gg.dst), "
+    "c AS (SELECT (SELECT count(*) FROM p) AS n_pred, "
+    " (SELECT count(*) FROM gg) AS n_gold, (SELECT count(*) FROM hit) AS n_hit) "
+    "SELECT n_pred, n_gold, n_hit, "
+    "ROUND(n_hit * 1.0 / n_pred, 6) AS precision, "
+    "ROUND(n_hit * 1.0 / n_gold, 6) AS recall, "
+    "ROUND(2.0 * (n_hit * 1.0 / n_pred) * (n_hit * 1.0 / n_gold) / "
+    "((n_hit * 1.0 / n_pred) + (n_hit * 1.0 / n_gold)), 6) AS f1 FROM c",
+    "distributed triple-set precision/recall/F1 (the north-star P/R "
+    "gate, driver-free): distinct + one left-semi per side, counts as "
+    "1-row broadcast aggregates — no data reaches the driver",
+)
+def kg_eval_pr(spark, sf):
+    from graphlab_spark.operators.evaluate import triple_pr
+
+    g = (
+        spark.read.parquet(f"{REPO_FIXTURES}/golden_triples.parquet")
+        .select(
+            F.col("subj_id").alias("src"), "pred", F.col("obj_id").alias("dst")
+        )
+        .distinct()
+        .withColumn(
+            "h",
+            F.substring(
+                F.md5(F.concat_ws("|", "src", "pred", "dst")), 1, 1
+            ),
+        )
+    )
+    pred = (
+        g.filter(~F.col("h").isin("0", "1")).select("src", "pred", "dst")
+        .unionByName(
+            g.filter(F.col("h") == "f").select(
+                F.col("dst").alias("src"), "pred", F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    return triple_pr(pred, g.select("src", "pred", "dst"))
+
+
+@q(
+    "kg_eval_cluster_pr",
+    # clustering eval: gold clusters = the id's LAST '-'/':'-separated
+    # segment (groups person:alice-grushenko with person:hiroshi-
+    # grushenko — a deterministic surname/family rule); predicted =
+    # same but nodes whose md5 starts '0'/'1' split into singletons
+    # ("over-split" canonicalization) — pairwise P/R/F1 with the same
+    # zero-denominator guards as the operator
+    f"WITH n AS (SELECT DISTINCT subj_id AS id FROM '{REPO_FIXTURES}/golden_triples.parquet' "
+    f" UNION SELECT DISTINCT obj_id FROM '{REPO_FIXTURES}/golden_triples.parquet'), "
+    "a AS (SELECT id, regexp_replace(id, '^.*[-:]', '') AS gold_c, "
+    " CASE WHEN substr(md5(id), 1, 1) IN ('0', '1') THEN id "
+    "  ELSE regexp_replace(id, '^.*[-:]', '') END AS pred_c FROM n), "
+    "gp AS (SELECT x.id AS a, y.id AS b FROM a x JOIN a y "
+    " ON x.gold_c = y.gold_c AND x.id < y.id), "
+    "pp AS (SELECT x.id AS a, y.id AS b FROM a x JOIN a y "
+    " ON x.pred_c = y.pred_c AND x.id < y.id), "
+    "hit AS (SELECT pp.* FROM pp SEMI JOIN gp ON pp.a = gp.a AND pp.b = gp.b), "
+    "c AS (SELECT (SELECT count(*) FROM pp) AS n_pred_pairs, "
+    " (SELECT count(*) FROM gp) AS n_gold_pairs, "
+    " (SELECT count(*) FROM hit) AS n_hit_pairs), "
+    "pr AS (SELECT *, CASE WHEN n_pred_pairs > 0 "
+    " THEN n_hit_pairs * 1.0 / n_pred_pairs ELSE 0.0 END AS p0, "
+    " CASE WHEN n_gold_pairs > 0 "
+    " THEN n_hit_pairs * 1.0 / n_gold_pairs ELSE 0.0 END AS r0 FROM c) "
+    "SELECT n_pred_pairs, n_gold_pairs, n_hit_pairs, "
+    "ROUND(p0, 6) AS precision, ROUND(r0, 6) AS recall, "
+    "ROUND(CASE WHEN p0 + r0 > 0 THEN 2.0 * p0 * r0 / (p0 + r0) "
+    "ELSE 0.0 END, 6) AS f1 FROM pr",
+    "pairwise entity-resolution P/R/F1 (canonicalization quality): "
+    "same-cluster pairs via cluster-keyed self-joins (Σ k² bounded by "
+    "the largest cluster), hits via left-semi, counts 1-row broadcast",
+)
+def kg_eval_cluster(spark, sf):
+    from graphlab_spark.operators.evaluate import cluster_pair_pr
+
+    g = spark.read.parquet(f"{REPO_FIXTURES}/golden_triples.parquet")
+    nodes = (
+        g.select(F.col("subj_id").alias("id"))
+        .unionByName(g.select(F.col("obj_id").alias("id")))
+        .distinct()
+    )
+    gold_c = F.regexp_replace(F.col("id"), "^.*[-:]", "")
+    a = nodes.select(
+        "id",
+        gold_c.alias("gold_c"),
+        F.when(
+            F.substring(F.md5(F.col("id")), 1, 1).isin("0", "1"), F.col("id")
+        )
+        .otherwise(gold_c)
+        .alias("pred_c"),
+    )
+    return cluster_pair_pr(
+        a, a, id_col="id", pred_col="pred_c", gold_col="gold_c"
+    )
+
+
+@q(
+    "kg_hyperball_registers",
+    _hyperball_sql(),
+    "HyperBall (Boldi-Vigna) 2-hop neighborhood sketches: one HLL "
+    "register table per node, set-union iterated as bucket-wise MAX "
+    "merge — per-node reach at 10^12 edges with ≤ |V|·2^p total state; "
+    "registers gated exactly, ball-size estimates pytest-pinned vs BFS",
+)
+def kg_hyperball(spark, sf):
+    from graphlab_spark.operators.hyperball import hyperball_registers
+
+    edges = spark.read.parquet(f"{REPO_FIXTURES}/golden_edge_prov.parquet")
+    return hyperball_registers(edges, t=2, p=4)
+
+
 # two deterministic EDGE snapshots derived from the frozen golden edge
 # provenance (the c15 construction lifted to the graph): edges whose
 # composite-key md5 starts 'f' exist only in the NEW snapshot, 'e' only
@@ -2305,13 +2513,14 @@ def t25(spark, sf):
 # driver record across rounds. This round's window (the 50 NOT listed
 # below) = the 15 always-in-window kg_* north-star/analytics gates + the
 # 26 zero-record gates parked in r4 (t27–t33, a29–a32, m05/m06,
-# e11–e13, c15, the nine kg_* provenance/layout/walk gates) + the six
+# e11–e13, c15, the nine kg_* provenance/layout/walk gates) + the
 # operators whose CODE changed this round and need fresh records (e06
-# asof struct-carry, d07 minhash modmul, t16 gopher hoist, t20/t21
-# dup-spans hoist, t24 chunking hoist) + t17 (composes the changed
-# gopher stats) + the two NEW r5 operators (s04 IVF-PQ, c16 bloom
-# frontier). Everything parked still runs under tools/check_oracles.py
-# and tests/test_orphan_oracles.py.
+# asof struct-carry, d07 minhash modmul, t16 gopher hoist, t20
+# dup-spans hoist; t21/t24 are parked — they inherit t20's hoist with
+# outputs hash-pinned by the orphan gate) + t17 (composes the changed
+# gopher stats) + the four NEW r5 operators (s04 IVF-PQ, c16 bloom
+# frontier, kg_hyperball_registers, t34 DSIR). Everything parked still
+# runs under tools/check_oracles.py and tests/test_orphan_oracles.py.
 from graphlab_spark.plans.relational import reorder_registry_last  # noqa: E402
 
 reorder_registry_last(
@@ -2319,6 +2528,10 @@ reorder_registry_last(
         # oracled, parked this round (every entry carries an r1–r4
         # driver record; re-verified via check_oracles each session)
         "a03_ilike_search",
+        "t21_cut_duplicate_spans",
+        "t24_chunk_documents",
+        "kg_eval_triple_pr",
+        "kg_eval_cluster_pr",
         "a15_anti_join_new_only",
         "a27_rollup_subtotals",
         "a28_pivot_event_matrix",

@@ -82,3 +82,26 @@ def test_manifest_hll_tracks_distinct_urls_across_runs(spark, tmp_path):
     # max-merge keeps the estimate identical
     run_pipeline(spark, second, aliases, out, run_id="run-b")
     assert manifest.approx_distinct_keys(stages=["extract"]) == est
+
+
+def test_reclaim_dead_roots_spares_live_sessions(tmp_path):
+    """Cross-process scratch sweeps must only reclaim roots whose owner
+    process is DEAD (r5: a blanket wipe destroyed a live session's
+    pinned frames mid-query)."""
+    import os
+
+    from graphlab_spark.operators.scratch import reclaim_dead_roots
+
+    base = str(tmp_path)
+    live = tmp_path / "glpipe-live"
+    dead = tmp_path / "glpipe-dead"
+    unmarked = tmp_path / "glpipe-old"  # predates the .owner marker
+    for d in (live, dead, unmarked):
+        d.mkdir()
+        (d / "stage-1").mkdir()
+    (live / ".owner").write_text(str(os.getpid()))
+    (dead / ".owner").write_text("999999999")
+    removed = set(reclaim_dead_roots(base))
+    assert str(dead) in removed and str(unmarked) in removed
+    assert live.exists() and (live / "stage-1").exists()
+    assert not dead.exists() and not unmarked.exists()

@@ -46,6 +46,10 @@ def test_cap_split_is_intentional():
     # r5 operators (s04, c16) hold the recorded window this round.
     parked_oracled = {
         "a03_ilike_search",
+        "t21_cut_duplicate_spans",
+        "t24_chunk_documents",
+        "kg_eval_triple_pr",
+        "kg_eval_cluster_pr",
         "a15_anti_join_new_only",
         "a27_rollup_subtotals",
         "a28_pivot_event_matrix",

@@ -40,12 +40,12 @@ CORPUS_DIR = "/dev/shm/scaling-corpus"
 
 
 def _clean_scratch() -> None:
-    import glob
-    import shutil
+    # reclaim only DEAD sessions' scratch roots: a blanket
+    # /dev/shm/glpipe-*/* wipe destroyed a concurrently-running
+    # session's pinned frames mid-query (observed r5)
+    from graphlab_spark.operators.scratch import reclaim_dead_roots
 
-    for d in glob.glob("/dev/shm/glpipe-*"):
-        for sub in glob.glob(f"{d}/*"):
-            shutil.rmtree(sub, ignore_errors=True)
+    reclaim_dead_roots()
 
 
 def _corpus_path(n_pages: int) -> str:
