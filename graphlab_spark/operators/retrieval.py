@@ -149,3 +149,97 @@ def inverted_index(
             "postings",
         )
     )
+
+
+# --------------------------------------------------- persisted index
+# The incremental twin every other persisted structure here already has
+# (dedup_incremental, semdedup_incremental, ann_index/ann_pq): crawl
+# increments fold into the index without re-tokenizing the old corpus.
+
+
+def index_build(
+    spark,
+    index_dir: str,
+    docs: DataFrame,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the inverted index PARTITIONED BY shard (a term lookup
+    reads only its term's shard files — the ann_index partition-pruning
+    pattern)."""
+    inverted_index(docs, n_shards, id_col, text_col).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(f"{index_dir}/terms")
+
+
+def index_add(
+    spark,
+    index_dir: str,
+    new_docs: DataFrame,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold a crawl increment in: tokenize ONLY the new docs, full-outer
+    join on (shard, term), df adds, postings merge to the canonical
+    sorted form — byte-identical to a one-shot build over the union
+    (pinned by test; assumes increment doc ids are new, the crawl
+    contract). Only touched terms change content; the parquet emulation
+    rewrites the table (on Iceberg this is ONE MERGE on the term key —
+    the merge_into_sql seam)."""
+    from graphlab_spark.operators.scratch import cleanup_prefix, materialize
+
+    inc = inverted_index(new_docs, n_shards, id_col, text_col)
+    old = spark.read.parquet(f"{index_dir}/terms")
+
+    def _posts(c):  # NULL side (term absent) → empty list, never [""]
+        return F.when(c.isNull(), F.array().cast("array<long>")).otherwise(
+            F.transform(F.split(c, r"\|"), lambda x: x.cast("long"))
+        )
+
+    merged_posts = F.array_join(
+        F.transform(
+            F.sort_array(
+                F.concat(_posts(F.col("o.postings")), _posts(F.col("i.postings")))
+            ),
+            lambda x: x.cast("string"),
+        ),
+        "|",
+    )
+    merged = (
+        old.alias("o")
+        .join(inc.alias("i"), ["shard", "term"], "full_outer")
+        .select(
+            "shard",
+            "term",
+            (
+                F.coalesce(F.col("o.df"), F.lit(0))
+                + F.coalesce(F.col("i.df"), F.lit(0))
+            ).cast("int").alias("df"),
+            merged_posts.alias("postings"),
+        )
+    )
+    pinned = materialize(merged, "invidx_merge")  # never read+overwrite one path
+    pinned.write.mode("overwrite").partitionBy("shard").parquet(f"{index_dir}/terms")
+    cleanup_prefix("invidx_merge")
+
+
+def index_lookup(
+    spark, index_dir: str, terms: list[str], n_shards: int = 32
+) -> DataFrame:
+    """(term, df, postings) for the requested terms — the shard ids are
+    computed driver-side from the same md5 bucket, so the scan carries a
+    static ``shard IN (...)`` partition filter and un-probed shards are
+    never read (plan-tested)."""
+    import hashlib
+
+    shards = sorted(
+        {int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % n_shards for t in terms}
+    )
+    return (
+        spark.read.parquet(f"{index_dir}/terms")
+        .filter(F.col("shard").isin(shards))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df", "postings")
+    )

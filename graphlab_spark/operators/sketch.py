@@ -207,3 +207,97 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+# ----------------------------------------------------------- HDR histogram
+# The quantile member of the sketch family (CMS/Bloom/HLL + this): an
+# HdrHistogram-style log-bucketed counter table — the industry-standard
+# mergeable percentile state for latency/length distributions. State is
+# ≤ octaves·s counter rows for ANY value cardinality; merge = counter
+# addition (partial aggregation IS the merge, like the CMS); relative
+# quantile error ≤ 1/s by construction. Everything — binning, rank
+# threshold, value readout — is EXACT integer arithmetic (the bit-length
+# ladder + integer division), so the DuckDB oracle matches hash-for-hash
+# and only the ±1/s error bound needs a pytest pin.
+
+HDR_MAX_BITS = 40  # values up to 2^40 — lengths/latency-µs territory
+
+
+def _hdr_bitlen(col: Column) -> Column:
+    """bit_length(v) for v ≥ 1 as the integer comparison ladder (the
+    _hll_cols trick — no float log at bin boundaries in any engine)."""
+    bl = None
+    for i in range(HDR_MAX_BITS):
+        term = (col >= F.lit(1 << i)).cast("int")
+        bl = term if bl is None else bl + term
+    return bl
+
+
+def hdr_bin(col: Column, s: int = 16) -> Column:
+    """HDR bin id of an integer value: octave b = bit_length(v)−1,
+    minor = (v − 2^b)·s div 2^b → bin = b·s + minor. Values < 1 clamp
+    to bin 0 (the v=1 bucket)."""
+    v = F.greatest(col.cast("long"), F.lit(1))
+    b = (_hdr_bitlen(v) - 1).cast("long")
+    # 2^b as pow→long: exact for b ≤ 40 (well under double's 2^53)
+    low = F.pow(F.lit(2.0), b.cast("double")).cast("long")
+    minor = ((v - low) * s).cast("long") / low
+    return (b * s + F.floor(minor)).cast("long")
+
+
+def hdr_build(
+    values: DataFrame, col: str = "value", s: int = 16, by: list[str] | None = None
+) -> DataFrame:
+    """(…by, bin, cnt) — one partial-aggregated groupBy; ≤ 40·s bins per
+    group regardless of input size. Merge two histograms by unioning and
+    summing counts (hdr_merge)."""
+    keys = (by or []) + [hdr_bin(F.col(col), s).alias("bin")]
+    return values.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hdr_merge(a: DataFrame, b: DataFrame, by: list[str] | None = None) -> DataFrame:
+    return (
+        a.unionByName(b)
+        .groupBy(*((by or []) + ["bin"]))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    qs: list[tuple[int, int]] = ((1, 2), (9, 10), (99, 100)),
+    s: int = 16,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """(…by, q_num, q_den, value) — quantile readout: rank threshold
+    k = ceil(n·num/den) (exact integer), value = LOWER BOUND of the
+    first bin whose cumulative count reaches k: 2^b + minor·2^b div s.
+    All integers → gate-able exactly; the true quantile lies within a
+    factor (1 + 1/s) of the readout (pytest-pinned)."""
+    from pyspark.sql import Window
+
+    keys = by or []
+    w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(
+        hist.groupBy(*keys).agg(F.sum("cnt").alias("n")), keys or None, "inner"
+    ) if keys else hist.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(hist.agg(F.sum("cnt").alias("n")))
+    )
+    qdf = hist.sparkSession.createDataFrame(
+        [(int(a), int(b)) for a, b in qs], "q_num long, q_den long"
+    )
+    j = cum.crossJoin(F.broadcast(qdf))
+    k = F.floor((F.col("n") * F.col("q_num") + F.col("q_den") - 1) / F.col("q_den"))
+    hit = j.filter(F.col("cum") >= k)
+    pick = Window.partitionBy(*(keys + ["q_num", "q_den"])).orderBy("bin")
+    b = F.floor(F.col("bin") / s).cast("long")
+    low = F.pow(F.lit(2.0), b.cast("double")).cast("long")
+    minor = F.col("bin") - b * s
+    val = low + F.floor(minor * low / s)
+    return (
+        hit.withColumn("_r", F.row_number().over(pick))
+        .filter(F.col("_r") == 1)
+        .select(*keys, "q_num", "q_den", val.cast("long").alias("value"))
+    )

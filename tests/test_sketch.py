@@ -119,3 +119,61 @@ def test_hll_state_bound(spark):
 
     vals = spark.range(50_000).select(F.col("id").cast("string").alias("value"))
     assert hll_build(vals, p=8).count() <= 256
+
+
+# ----------------------------------------------------------- HDR histogram
+
+
+def test_hdr_quantile_within_relative_error(spark):
+    """Readout is within a factor 1/s of the exact percentile (below it
+    by construction — the bin LOWER bound), on a wide log-range."""
+    import numpy as np
+
+    from graphlab_spark.operators.sketch import hdr_build, hdr_quantiles
+
+    vals = [int(x) for x in np.random.RandomState(3).lognormal(6, 1.5, 5000)]
+    vals = [max(v, 1) for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "value long")
+    got = {
+        (r.q_num, r.q_den): r.value
+        for r in hdr_quantiles(hdr_build(df, s=16)).collect()
+    }
+    for num, den in [(1, 2), (9, 10), (99, 100)]:
+        k = -(-len(vals) * num // den)  # ceil rank
+        exact = sorted(vals)[k - 1]
+        est = got[(num, den)]
+        assert est <= exact, (num, den, est, exact)
+        # lower bound of the bin containing the exact value: within 1/s
+        # of it, plus one bin of slack at octave edges
+        assert est >= exact / (1 + 2 / 16) - 1, (num, den, est, exact)
+
+
+def test_hdr_merge_equals_oneshot(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) — counters add."""
+    from graphlab_spark.operators.sketch import hdr_build, hdr_merge
+
+    a = spark.createDataFrame([(v,) for v in range(1, 800)], "value long")
+    b = spark.createDataFrame([(v,) for v in range(400, 1200)], "value long")
+    merged = {
+        r.bin: r.cnt
+        for r in hdr_merge(hdr_build(a), hdr_build(b)).collect()
+    }
+    oneshot = {
+        r.bin: r.cnt
+        for r in hdr_build(a.unionByName(b)).collect()
+    }
+    assert merged == oneshot
+
+
+def test_hdr_state_bounded_and_partial_agg(spark):
+    from graphlab_spark.operators.sketch import hdr_build
+
+    df = spark.createDataFrame(
+        [(i % 50000 + 1,) for i in range(100_000)], "value long"
+    )
+    h = hdr_build(df, s=16)
+    assert h.count() <= 40 * 16  # bins, regardless of cardinality
+    plan = h._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "partial_count" in plan and "EvalPython" not in plan

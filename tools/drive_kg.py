@@ -44,16 +44,24 @@ def main() -> None:
     res = run_pipeline(
         spark, corpus.generate_pages(spark, n), corpus.alias_df(spark), out_dir
     )
-    edges = {
-        (r.src, r.pred, r.dst)
-        for r in res["edges"].select("src", "pred", "dst").distinct().collect()
-    }
-    golden = {
-        (g["subj_id"], g["pred"], g["obj_id"]) for g in corpus.golden_triples_local(n)
-    }
-    tp = len(edges & golden)
-    p = tp / len(edges) if edges else 0.0
-    r = tp / len(golden) if golden else 0.0
+    # DRIVER-FREE P/R (operators/evaluate.triple_pr): distinct + one
+    # left-semi per side, counts as 1-row broadcast aggregates — the
+    # edge set never reaches the driver, so the same gate runs at
+    # 10^12 edges. (The golden side is generated locally here because
+    # it is rule-derived and test-sized; at scale it is a table too.)
+    from graphlab_spark.operators.evaluate import triple_pr
+
+    golden_df = spark.createDataFrame(
+        [
+            (g["subj_id"], g["pred"], g["obj_id"])
+            for g in corpus.golden_triples_local(n)
+        ],
+        "src string, pred string, dst string",
+    )
+    pr_row = triple_pr(
+        res["edges"].select("src", "pred", "dst"), golden_df
+    ).collect()[0]
+    p, r = pr_row.precision, pr_row.recall
     print(
         f"VERIFY P={p:.4f} R={r:.4f} docs={res['docs'].count()} "
         f"triples={res['triples'].count()} edges={res['edges'].count()} "
