@@ -51,15 +51,144 @@ def train_centroids(
     centroid so the output shape is always (k, dim)."""
     x = np.asarray(vecs, dtype=np.float64)
     rng = np.random.RandomState(seed)
-    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    init = x[rng.choice(len(x), size=k, replace=False)].copy()
+    return lloyd_local(x, init, n_iter)
+
+
+def lloyd_local(x: np.ndarray, init: np.ndarray, n_iter: int) -> np.ndarray:
+    """Lloyd iterations from explicit initial centroids (float64,
+    ties to the lowest cell, empty cells keep their previous centroid).
+    The exact local reference :func:`kmeans_fit` is equality-pinned to."""
+    cent = np.asarray(init, dtype=np.float64).copy()
     for _ in range(n_iter):
         d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
-        for c in range(k):
+        for c in range(len(cent)):
             members = x[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
     return cent
+
+
+def kmeans_init(
+    embeddings: DataFrame,
+    k: int,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic distributed init: the k vectors whose seeded
+    ``md5(seed‖id)`` sorts lowest — a uniform hash-order sample that
+    never materializes the corpus on the driver (top-k over a scan,
+    exactly the stratified-sample key discipline in sampling.py)."""
+    rows = (
+        embeddings.select(
+            F.md5(F.concat(F.lit(f"km{seed}_"), F.col(id_col).cast("string"))).alias(
+                "_hk"
+            ),
+            F.col(vec_col).alias("_v"),
+        )
+        .orderBy("_hk")
+        .limit(k)
+        .collect()
+    )
+    return [[float(v) for v in r._v] for r in rows]
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 10,
+    init: list[list[float]] | None = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DISTRIBUTED Lloyd k-means → (cell_id, centroid): the trainer that
+    replaces the driver-side fixture path when the corpus no longer fits
+    in memory (at 10^11 docs × 1k-dim embeddings the vectors are ~400 TB;
+    `train_centroids` collects them, this never does).
+
+    Scale shape per iteration:
+    - ASSIGN: broadcast the k centroids (k·d floats — model-sized), one
+      JVM ``zip_with``/``aggregate`` squared-L2 per (vec, centroid), and
+      a partial-aggregated ``min_by`` per vec. No data-sized shuffle
+      beyond the one groupBy on the vec id; ties to the lowest cell.
+    - UPDATE: ``pyspark.ml.stat.Summarizer.mean`` grouped by cell — the
+      elementwise vector mean with MAP-SIDE partial aggregation, so the
+      shuffle carries ≤ k·partitions summarizer states, never the N·d
+      vectors (an applyInPandas update would ship every vector).
+    - Driver state per iteration is the k centroids only (the BPE
+      merge-loop posture: vocabulary-sized syncs, never data-sized).
+
+    Equality-pinned to :func:`lloyd_local` (1e-9, same init) by test;
+    empty cells keep their previous centroid, matching the local loop.
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    spark = embeddings.sparkSession
+    if init is None:
+        init = kmeans_init(embeddings, k, seed, id_col, vec_col)
+    cent: list[list[float]] = [[float(x) for x in c] for c in init]
+    vecs = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cent)],
+            "cell_id int, centroid array<double>",
+        )
+        d2 = F.aggregate(
+            F.zip_with("_v", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        asg = (
+            vecs.crossJoin(F.broadcast(cdf))
+            .select("_id", "_v", "cell_id", d2.alias("_d2"))
+            .groupBy("_id")
+            .agg(
+                F.expr("min_by(cell_id, struct(_d2, cell_id))").alias("cell_id"),
+                F.first("_v").alias("_v"),
+            )
+        )
+        means = (
+            asg.select("cell_id", array_to_vector("_v").alias("_mv"))
+            .groupBy("cell_id")
+            .agg(vector_to_array(Summarizer.mean(F.col("_mv"))).alias("mean"))
+            .collect()
+        )
+        for r in means:
+            cent[r.cell_id] = [float(x) for x in r.mean]
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cent)], "cell_id int, centroid array<double>"
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell_id) under squared-L2 — the Lloyd metric (assign_cells
+    is the cosine twin used by SemDeDup). Broadcast k centroids +
+    partial-aggregated ``min_by``; ties to the lowest cell_id."""
+    d2 = F.aggregate(
+        F.zip_with("_v", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .crossJoin(F.broadcast(centroids))
+        .select(id_col, "cell_id", d2.alias("_d2"))
+        .groupBy(id_col)
+        .agg(F.expr("min_by(cell_id, struct(_d2, cell_id))").alias("cell_id"))
+    )
 
 
 def assign_cells(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:

@@ -805,6 +805,32 @@ def t35(spark, sf):
     return hdr_quantiles(hist, s=16, by=["source"])
 
 
+@q(
+    "t36_kmeans_cells",
+    None,  # iterative float algorithm (Lloyd means): rows-only here —
+    # the semantic gate is tests/test_semdedup.py, where the distributed
+    # trainer is equality-pinned (1e-8) to the local numpy Lloyd loop
+    # from the same init (the kg_pagerank_top posture); the FIXED-model
+    # assignment step is already hash-gated end-to-end by d08.
+    "distributed k-means (Lloyd) over the embeddings table: broadcast "
+    "centroids + JVM squared-L2 assignment, Summarizer-mean partial-agg "
+    "centroid update (shuffle carries k×partitions states, never the "
+    "N·d vectors), driver syncs model-sized only — the trainer behind "
+    "SemDeDup cells when the corpus outgrows the driver",
+)
+def t36(spark, sf):
+    from graphlab_spark.operators.semdedup import kmeans_assign, kmeans_fit
+
+    emb = _t(spark, sf, "embeddings")
+    cents = kmeans_fit(emb, k=8, n_iter=3, seed=7)
+    return (
+        kmeans_assign(emb, cents)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("cell_id")
+    )
+
+
 # DSIR (Xie et al. 2023): hashed unigram+bigram bag models — target
 # slice = five sources. Shared gram/bucket derivation text keeps both
 # engines identical (md5 48-bit bucket, the sketch.py formula).
@@ -2409,6 +2435,29 @@ def kg_hyperball(spark, sf):
     return hyperball_registers(edges, t=2, p=4)
 
 
+@q(
+    "kg_weighted_pagerank_top",
+    None,  # iterative float algorithm: rows-only (the kg_pagerank_top
+    # posture); semantic gates in tests/test_graph_query.py — uniform
+    # weights ≡ pagerank at 1e-9, driver ≡ distributed at 1e-9,
+    # duplicate-edge weight summing pinned at 1e-12.
+    "graph analytics: evidence-weighted PageRank top-10 over the frozen "
+    "golden edge provenance — transition probability ∝ n_docs "
+    "supporting documents, so well-attested facts pull more rank than "
+    "one-off extractions; the KG-native entity-importance ranking",
+)
+def kg_wpr(spark, sf):
+    from graphlab_spark.operators.graph_query import weighted_pagerank
+
+    edges = spark.read.parquet(f"{REPO_FIXTURES}/golden_edge_prov.parquet")
+    return (
+        weighted_pagerank(edges.select("src", "dst", "n_docs"))
+        .select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(10)
+    )
+
+
 # two deterministic EDGE snapshots derived from the frozen golden edge
 # provenance (the c15 construction lifted to the graph): edges whose
 # composite-key md5 starts 'f' exist only in the NEW snapshot, 'e' only
@@ -2657,5 +2706,7 @@ reorder_registry_last(
         "s03_ann_ivf_topk",
         "kg_pagerank_top",
         "kg_ppr_top",
+        "kg_weighted_pagerank_top",
+        "t36_kmeans_cells",
     ]
 )
