@@ -2505,6 +2505,69 @@ def kg_gdelta(spark, sf):
     return graph_delta(old, new)
 
 
+# SCD2 oracle: the fold is replayed as run-length segments over the
+# (entity, crawl, value) grid — a segment starts where the entity
+# (re)appears or its value changes; it closes at the crawl after its
+# last row unless that row is the final crawl (still open → NULL).
+_SCD2_SQL = (
+    "WITH g AS (SELECT entity_id, n_docs, substr(md5(entity_id), 1, 1) AS h "
+    f"FROM '{{fx}}/golden_node_prov.parquet'), "
+    "L AS ("
+    "SELECT entity_id, 1 AS c, n_docs AS v FROM g WHERE h <> 'f' "
+    "UNION ALL SELECT entity_id, 2, "
+    "CASE WHEN h = '0' THEN n_docs + 1 ELSE n_docs END FROM g WHERE h <> 'e' "
+    "UNION ALL SELECT entity_id, 3, "
+    "CASE WHEN h IN ('0','1') THEN n_docs + 1 ELSE n_docs END FROM g WHERE h <> 'e'), "
+    "m AS (SELECT entity_id, c, v, "
+    "lag(c) OVER (PARTITION BY entity_id ORDER BY c) AS pc, "
+    "lag(v) OVER (PARTITION BY entity_id ORDER BY c) AS pv FROM L), "
+    "s AS (SELECT entity_id, c, v, CASE WHEN pc IS NULL OR pc <> c - 1 "
+    "OR pv <> v THEN 1 ELSE 0 END AS st FROM m), "
+    "seg AS (SELECT entity_id, c, v, "
+    "SUM(st) OVER (PARTITION BY entity_id ORDER BY c) AS sid FROM s) "
+    "SELECT entity_id, MIN(v) AS n_docs, CAST(MIN(c) AS BIGINT) AS valid_from, "
+    "CAST(CASE WHEN MAX(c) = 3 THEN NULL ELSE MAX(c) + 1 END AS BIGINT) AS valid_to "
+    "FROM seg GROUP BY entity_id, sid"
+)
+
+
+@q(
+    "kg_scd2_node_history",
+    # Parked for the r6 rotation BY DESIGN (orphan-gated; c15 carries
+    # the crawl-versioning family's recorded gate this round).
+    _SCD2_SQL.format(fx=REPO_FIXTURES),
+    "SCD2 (type-2 dimension) entity-attribute history across three "
+    "deterministic crawls of the golden node provenance: per apply ONE "
+    "key-hashed full-outer join between the OPEN history slice and the "
+    "snapshot (closed versions never join), null-safe struct attr "
+    "compare, each joined row exploding to its 1-2 output versions — "
+    "point-in-time entity reads the reference's latest-state tables "
+    "cannot answer",
+)
+def kg_scd2(spark, sf):
+    from graphlab_spark.operators.scd import scd2_apply, scd2_init
+
+    g = spark.read.parquet(f"{REPO_FIXTURES}/golden_node_prov.parquet").select(
+        "entity_id", "n_docs", F.substring(F.md5("entity_id"), 1, 1).alias("h")
+    )
+    s1 = g.filter(F.col("h") != "f").select("entity_id", "n_docs")
+    s2 = g.filter(F.col("h") != "e").select(
+        "entity_id",
+        F.when(F.col("h") == "0", F.col("n_docs") + 1)
+        .otherwise(F.col("n_docs"))
+        .alias("n_docs"),
+    )
+    s3 = g.filter(F.col("h") != "e").select(
+        "entity_id",
+        F.when(F.col("h").isin("0", "1"), F.col("n_docs") + 1)
+        .otherwise(F.col("n_docs"))
+        .alias("n_docs"),
+    )
+    hist = scd2_init(s1, ["entity_id"], ["n_docs"], 1)
+    hist = scd2_apply(hist, s2, ["entity_id"], ["n_docs"], 2)
+    return scd2_apply(hist, s3, ["entity_id"], ["n_docs"], 3)
+
+
 # deterministic-walk oracle: 3 steps unrolled; argmin via the portable
 # fixed-width trick min(md5_hex || dst) with substr(·,33) recovering dst
 # (md5 hex is exactly 32 chars — min_by would tie-break arbitrarily)
@@ -2631,6 +2694,7 @@ reorder_registry_last(
         "kg_eval_triple_pr",
         "kg_eval_cluster_pr",
         "t35_hdr_quantiles",
+        "kg_scd2_node_history",
         "a15_anti_join_new_only",
         "a27_rollup_subtotals",
         "a28_pivot_event_matrix",
