@@ -2568,6 +2568,61 @@ def kg_scd2(spark, sf):
     return scd2_apply(hist, s3, ["entity_id"], ["n_docs"], 3)
 
 
+# TransE oracle: the quantized model is EXACT integers, so the L1
+# distances and the better-candidate counts replay verbatim — long-form
+# (id, pos, val) embedding tables joined on position.
+_TRANSE_SQL = (
+    "WITH el AS (SELECT entity_id, pos, emb[pos] AS val "
+    f"FROM '{{fx}}/transe_ent.parquet', "
+    "UNNEST(generate_series(1, len(emb))) AS u(pos)), "
+    "rl AS (SELECT pred, pos, emb[pos] AS val "
+    f"FROM '{{fx}}/transe_rel.parquet', "
+    "UNNEST(generate_series(1, len(emb))) AS u(pos)), "
+    "t AS (SELECT DISTINCT subj_id AS src, pred, obj_id AS dst "
+    f"FROM '{{fx}}/golden_triples.parquet' "
+    "WHERE substr(md5(subj_id || '|' || pred || '|' || obj_id), 1, 1) = '0'), "
+    "hr AS (SELECT t.src, t.pred, t.dst, el.pos, el.val + rl.val AS hv "
+    "FROM t JOIN el ON el.entity_id = t.src "
+    "JOIN rl ON rl.pred = t.pred AND rl.pos = el.pos), "
+    "d AS (SELECT hr.src, hr.pred, hr.dst, cl.entity_id AS cand, "
+    "SUM(ABS(hr.hv - cl.val)) AS dist "
+    "FROM hr JOIN el cl ON cl.pos = hr.pos GROUP BY 1, 2, 3, 4), "
+    "dt AS (SELECT src, pred, dst, dist AS dtrue FROM d WHERE cand = dst) "
+    "SELECT d.src, d.pred, d.dst, CAST(1 + SUM(CASE WHEN d.dist < dt.dtrue "
+    "OR (d.dist = dt.dtrue AND d.cand < d.dst) THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS rank FROM d JOIN dt USING (src, pred, dst) GROUP BY 1, 2, 3"
+)
+
+
+@q(
+    "kg_transe_tail_ranks",
+    # Parked for the r6 rotation BY DESIGN (orphan-gated; the semantic
+    # gates are tests/test_kgembed.py's exact numpy pins + quality
+    # floor vs random).
+    _TRANSE_SQL.format(fx=REPO_FIXTURES),
+    "TransE link-prediction tail ranks over a deterministic slice of "
+    "the golden triples under the frozen INTEGER-QUANTIZED embedding "
+    "fixture: exact BIGINT L1 distances, rank = 1 + strictly-better "
+    "candidates (ties to the smaller entity id) — the eval set "
+    "broadcasts and the entity table streams past it once, shuffle "
+    "carries per-test counts, never the |test|x|V| score matrix",
+)
+def kg_transe(spark, sf):
+    from graphlab_spark.operators.kgembed import transe_tail_ranks
+
+    test = (
+        spark.read.parquet(f"{REPO_FIXTURES}/golden_triples.parquet")
+        .select(F.col("subj_id").alias("src"), "pred", F.col("obj_id").alias("dst"))
+        .distinct()
+        .filter(F.substring(F.md5(F.concat_ws("|", "src", "pred", "dst")), 1, 1) == "0")
+    )
+    return transe_tail_ranks(
+        test,
+        spark.read.parquet(f"{REPO_FIXTURES}/transe_ent.parquet"),
+        spark.read.parquet(f"{REPO_FIXTURES}/transe_rel.parquet"),
+    )
+
+
 # deterministic-walk oracle: 3 steps unrolled; argmin via the portable
 # fixed-width trick min(md5_hex || dst) with substr(·,33) recovering dst
 # (md5 hex is exactly 32 chars — min_by would tie-break arbitrarily)
@@ -2695,6 +2750,7 @@ reorder_registry_last(
         "kg_eval_cluster_pr",
         "t35_hdr_quantiles",
         "kg_scd2_node_history",
+        "kg_transe_tail_ranks",
         "a15_anti_join_new_only",
         "a27_rollup_subtotals",
         "a28_pivot_event_matrix",

@@ -52,6 +52,7 @@ def test_cap_split_is_intentional():
         "kg_eval_cluster_pr",
         "t35_hdr_quantiles",
         "kg_scd2_node_history",
+        "kg_transe_tail_ranks",
         "a15_anti_join_new_only",
         "a27_rollup_subtotals",
         "a28_pivot_event_matrix",
