@@ -558,6 +558,25 @@ def main() -> None:
     ok_all &= check("t30 no Python", "EvalPython" not in p)
     ok_all &= check("t30 grouped on term", "hashpartitioning(term" in p)
 
+    # 22c. kg_scd2: the apply chain is key-hashed joins only — never a
+    # nested loop — and all-JVM
+    p = plan_of(REGISTRY["kg_scd2_node_history"].fn(spark, sf_dir))
+    ok_all &= check("kg_scd2 no nested-loop join", "NestedLoop" not in p and "CartesianProduct" not in p)
+    ok_all &= check("kg_scd2 no Python", "EvalPython" not in p)
+
+    # 22d. kg_transe ranks: the EVAL SET side broadcasts (BNLJ with
+    # BuildRight over the streamed entity table), count partial-aggs
+    p = plan_of(REGISTRY["kg_transe_tail_ranks"].fn(spark, sf_dir))
+    ok_all &= check("kg_transe eval-set broadcast (BNLJ BuildRight)",
+                    "BroadcastNestedLoopJoin Cross BuildRight" in p)
+    ok_all &= check("kg_transe rank count partial-aggregated", "partial_sum" in p or "partial" in p)
+    ok_all &= check("kg_transe no Python", "EvalPython" not in p)
+
+    # 22e. t36 distributed k-means: centroid update partial-aggregates
+    # summarizer states (ObjectHashAggregate), assignment JVM-side
+    p = plan_of(REGISTRY["t36_kmeans_cells"].fn(spark, sf_dir))
+    ok_all &= check("t36 no Python in assignment/update", "EvalPython" not in p)
+
     # 23. GUARD: no split() re-evaluated inside a higher-order lambda
     # body — the O(tokens²) re-split anti-pattern (shingled r2 →
     # dup_spans/chunking r4, 9–11× measured waste). Reads the ANALYZED
