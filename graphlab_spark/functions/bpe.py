@@ -222,6 +222,34 @@ def bpe_ids_col(merges: Sequence[tuple[str, str]], text_col: str = "text") -> Co
     return _ids(F.col(text_col))
 
 
+def decode_ids(ids: Sequence[int], merges: Sequence[tuple[str, str]]) -> str:
+    """Inverse of :func:`encode_ids` up to pre-tokenization:
+    ``decode_ids(encode_ids(text)) == "".join(pretokenize(text))``
+    (whitespace and case are dropped by the pre-tokenizer BY DESIGN —
+    pinned by the round-trip test). Unknown ids render U+FFFD, the
+    tokenizer-standard replacement."""
+    products = {256 + i: a + b for i, (a, b) in enumerate(merges)}
+    return "".join(
+        chr(i) if 0 <= i < 256 else products.get(i, "�") for i in ids
+    )
+
+
+def bpe_decode_col(
+    merges: Sequence[tuple[str, str]], ids_col: str = "ids"
+) -> Column:
+    """Column: decoded string of an ``array<int>`` id column — the
+    shard-inspection path (spot-check what a packed training shard
+    actually says). Same Arrow-batched shape as :func:`bpe_ids_col`;
+    the id→token table is merges-sized and closure-captured (broadcast
+    with the task, never a join)."""
+
+    @F.pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        return s.map(lambda ids: decode_ids(ids, merges))
+
+    return _dec(F.col(ids_col))
+
+
 def count_tokens(text: str | None, ranks: dict[tuple[str, str], int],
                  cache: dict[str, int] | None = None) -> int:
     if not text:

@@ -190,3 +190,44 @@ def test_pack_shards_accepts_bpe_counts(spark):
         assert sum(toks) < 500 + toks[-1]
     # a too-small budget would collapse everything into chunk 0 otherwise
     assert any(r.chunk_id > 0 for r in rows)
+
+
+# ----------------------------------------------------------- decode
+
+
+def test_decode_round_trips_to_pretoken_stream(spark):
+    """decode(encode(text)) == ''.join(pretokenize(text)) for every
+    sf0.001 document — the id sequence preserves all non-whitespace
+    content under the frozen merges (whitespace/case drop is the
+    pre-tokenizer contract, not decoder loss)."""
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.functions.bpe import (
+        bpe_decode_col,
+        bpe_ids_col,
+        load_merges,
+        pretokenize,
+    )
+
+    merges = load_merges()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = (
+        docs.withColumn("ids", bpe_ids_col(merges))
+        .withColumn("decoded", bpe_decode_col(merges))
+        .select("doc_id", "text", "decoded")
+        .collect()
+    )
+    assert len(got) > 100
+    for r in got:
+        assert r.decoded == "".join(pretokenize(r.text)), r.doc_id
+
+
+def test_decode_unknown_id_renders_replacement():
+    from graphlab_spark.functions.bpe import decode_ids, load_merges
+
+    merges = load_merges()
+    assert decode_ids([ord("h"), ord("i")], merges) == "hi"
+    assert decode_ids([999999], merges) == "�"
+    assert decode_ids([], merges) == ""
