@@ -345,3 +345,91 @@ def canonicalize_small(
             else:
                 mapping[eid] = known_min.get(root, root)
     return mapping
+
+
+# ------------------------------------------- incremental components
+
+
+def cc_incremental(
+    prior: DataFrame,
+    new_edges: DataFrame,
+    max_iter: int = 12,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """Fold a crawl increment's edges into an EXISTING component
+    labelling without re-running CC over the union graph:
+    ``prior(item_id, component_id)`` (min-id labels, the
+    :func:`connected_components` contract) + new undirected
+    ``edges(a, b)`` → updated ``(item_id, component_id)`` for the union
+    graph, EXACTLY equal to one-shot CC over old∪new edges
+    (equality-pinned in tests/test_cc_incremental.py).
+
+    The incremental twin the other persisted structures here already
+    have (dedup_incremental, semdedup_incremental, index_add): a monthly
+    re-crawl adds O(delta) edges to a graph whose full CC run is the
+    expensive vocabulary-scale step.
+
+    Scale shape — work is O(delta), plus ONE broadcast-join scan of the
+    prior labels:
+    1. map the new edges' endpoints through the prior labels (two
+       broadcast-able joins on the O(delta) side; endpoints the prior
+       never saw label themselves) → a COMPONENT-level edge per new
+       edge;
+    2. run CC on that component graph — O(delta) nodes and edges, so it
+       takes :func:`connected_components`' driver union-find fast path
+       at any realistic increment size, min-label propagation above it.
+       Min over a merged group of components = min item_id over all
+       their members ∪ new nodes, because each prior label IS its
+       component's min member — so labels stay canonical one-shot
+       labels;
+    3. remap: the touched-component remap table is O(delta) → broadcast
+       against the prior labels (one scan, no shuffle of the big side);
+       untouched components pass through unchanged; brand-new nodes
+       union in.
+    """
+    e = new_edges.select("a", "b")
+    # Filter the corpus-sized prior down to the delta's endpoints with a
+    # broadcast SEMI join (one scan, no shuffle of the big side) — a
+    # plain left join of the delta against prior would have to shuffle
+    # prior, since the left/preserved side of an outer join can't be the
+    # broadcast build side.
+    endpoints = (
+        e.select(F.col("a").alias("item_id"))
+        .unionByName(e.select(F.col("b").alias("item_id")))
+        .distinct()
+    )
+    pe = prior.join(F.broadcast(endpoints), "item_id", "left_semi")
+    pa = pe.select(F.col("item_id").alias("a"), F.col("component_id").alias("_ca"))
+    pb = pe.select(F.col("item_id").alias("b"), F.col("component_id").alias("_cb"))
+    comp_edges = (
+        e.join(F.broadcast(pa), "a", "left")
+        .join(F.broadcast(pb), "b", "left")
+        .select(
+            F.coalesce(F.col("_ca"), F.col("a")).alias("a"),
+            F.coalesce(F.col("_cb"), F.col("b")).alias("b"),
+        )
+    )
+    remap = connected_components(
+        comp_edges, max_iter=max_iter, driver_threshold=driver_threshold
+    ).select(
+        F.col("item_id").alias("_old"), F.col("component_id").alias("_new")
+    )
+    relabelled = (
+        prior.join(
+            F.broadcast(remap), prior["component_id"] == remap["_old"], "left"
+        )
+        .select(
+            "item_id",
+            F.coalesce(F.col("_new"), F.col("component_id")).alias(
+                "component_id"
+            ),
+        )
+    )
+    # brand-new items = delta endpoints the prior never labelled; both
+    # frames here are O(delta), so no big-side work at all
+    fresh = (
+        endpoints.join(F.broadcast(pe.select("item_id")), "item_id", "left_anti")
+        .join(F.broadcast(remap), F.col("item_id") == F.col("_old"))
+        .select("item_id", F.col("_new").alias("component_id"))
+    )
+    return relabelled.unionByName(fresh)

@@ -24,7 +24,7 @@ Spark-first shape, built for 10^12 docs:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -242,4 +242,60 @@ def index_lookup(
         .filter(F.col("shard").isin(shards))
         .filter(F.col("term").isin(terms))
         .select("term", "df", "postings")
+    )
+
+
+# --------------------------------------------------- hybrid fusion
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_n: int = 500,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ≥2 retriever score lists (Cormack et
+    al., the standard hybrid lexical+semantic combiner) →
+    ``(id_col, rrf, n_lists)`` sorted by fused score. Each input is
+    ``(frame, score_col)``; within each list rank = 1-based position by
+    (score DESC, id ASC) — the deterministic tie-break — over that
+    list's ``top_n`` best rows only. Fused score is FIXED-POINT:
+    ``Σ_lists scale DIV (k + rank)`` as BIGINT, not float — integer
+    division is bit-identical across engines (the t02 precedent), while
+    a float Σ1/(k+rank) depends on accumulation order. At scale=1e9 the
+    floor error per term is <1 ulp-equivalent of the 1/(k+rank) ladder,
+    so ordering matches true RRF except inside ties true RRF also has.
+
+    Scale shape: RRF fuses TOP-K LISTS, never corpora — each list is
+    first cut to ``top_n`` via orderBy+limit (Spark plans
+    TakeOrderedAndProject: per-partition partial top-k, no global
+    sort), so the single-partition rank window that follows runs on a
+    ≤top_n-row frame by construction. The fuse itself is a union +
+    one partial-aggregated groupBy over ≤ n_lists·top_n rows.
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    contribs = []
+    for frame, score_col in rankings:
+        top = frame.select(
+            F.col(id_col), F.col(score_col).alias("_s")
+        ).orderBy(F.col("_s").desc(), F.col(id_col).asc()).limit(top_n)
+        w = Window.orderBy(F.col("_s").desc(), F.col(id_col).asc())
+        contribs.append(
+            top.withColumn("_rank", F.row_number().over(w)).select(
+                id_col,
+                F.expr(f"CAST({scale} AS BIGINT) DIV ({k} + _rank)").alias("_c"),
+            )
+        )
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    return (
+        allc.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("rrf"),
+            F.count(F.lit(1)).cast("int").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
     )

@@ -42,9 +42,12 @@ def test_cap_split_is_intentional():
     # every oracled entry past the cap must be one we consciously parked
     # r5 rotation (see reorder_registry_last in plans/training_queries):
     # every parked entry below carries an r1–r4 driver record; the r4
-    # zero-record gates, the r5 changed-code operators, and the two new
-    # r5 operators (s04, c16) hold the recorded window this round.
+    # zero-record gates, the r5 changed-code operators, and the new
+    # r5 operators (s04, c16, t34, kg_hyperball, t37) hold the recorded
+    # window this round (t37 took d07's slot — d07 has an r4 full-pass
+    # record and its modmul change is hash-verified by check_oracles).
     parked_oracled = {
+        "d07_neardup_keepers",
         "a03_ilike_search",
         "t21_cut_duplicate_spans",
         "t24_chunk_documents",

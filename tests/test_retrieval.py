@@ -145,3 +145,69 @@ def test_index_lookup_prunes_to_term_shards(spark, tmp_path):
     )
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "shard" in pf[0], plan[:600]
+
+
+# ----------------------------------------------------------- RRF fusion
+
+
+def _py_rrf(lists, k=60, scale=1_000_000_000):
+    """Reference replica: lists = [{id: score}]; rank by (score desc,
+    id asc); fused = sum(scale // (k + rank))."""
+    out = {}
+    counts = {}
+    for scores in lists:
+        ranked = sorted(scores, key=lambda i: (-scores[i], i))
+        for r, i in enumerate(ranked, 1):
+            out[i] = out.get(i, 0) + scale // (k + r)
+            counts[i] = counts.get(i, 0) + 1
+    return out, counts
+
+
+def test_rrf_matches_python_reference(spark):
+    from graphlab_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 5.0), (4, 1.0)], "doc_id long, s1 double"
+    )
+    b = spark.createDataFrame(
+        [(3, 100), (5, 80), (1, 80), (2, 10)], "doc_id long, s2 long"
+    )
+    got = {
+        r.doc_id: (r.rrf, r.n_lists)
+        for r in rrf_fuse([(a, "s1"), (b, "s2")]).collect()
+    }
+    exp, counts = _py_rrf(
+        [{1: 9.0, 2: 5.0, 3: 5.0, 4: 1.0}, {3: 100, 5: 80, 1: 80, 2: 10}]
+    )
+    assert got == {i: (exp[i], counts[i]) for i in exp}
+    # tie at score 5.0 broken by id: doc 2 ranks above doc 3 in list a;
+    # tie at 80 in list b: doc 1 above doc 5
+    assert got[2][0] > got[4][0]
+    assert got[1][0] == 1_000_000_000 // 61 + 1_000_000_000 // 62
+
+
+def test_rrf_top_n_cut_and_missing_docs(spark):
+    from graphlab_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], "doc_id long, s double"
+    )
+    b = spark.createDataFrame([(99, 1.0)], "doc_id long, s double")
+    rows = rrf_fuse([(a, "s"), (b, "s")], top_n=3).collect()
+    got = {r.doc_id: (r.rrf, r.n_lists) for r in rows}
+    # only a's top-3 survive the cut; doc 99 appears from list b alone
+    assert set(got) == {0, 1, 2, 99}
+    assert got[99] == (1_000_000_000 // 61, 1)
+    assert got[0][1] == 1
+    # output ordered by fused score desc
+    assert [r.doc_id for r in rows] == sorted(
+        got, key=lambda i: (-got[i][0], i)
+    )
+
+
+def test_rrf_requires_two_lists(spark):
+    from graphlab_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1.0)], "doc_id long, s double")
+    with pytest.raises(ValueError):
+        rrf_fuse([(a, "s")])

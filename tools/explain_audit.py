@@ -577,6 +577,25 @@ def main() -> None:
     p = plan_of(REGISTRY["t36_kmeans_cells"].fn(spark, sf_dir))
     ok_all &= check("t36 no Python in assignment/update", "EvalPython" not in p)
 
+    # 22f. t37 hybrid RRF: each list cut via TakeOrderedAndProject
+    # (partial per-partition top-k — a global Sort before the limit
+    # would be the scale bug), fuse partial-aggregated, no Python
+    p = plan_of(REGISTRY["t37_hybrid_rrf"].fn(spark, sf_dir))
+    ok_all &= check("t37 top-n via TakeOrderedAndProject", "TakeOrderedAndProject" in p)
+    ok_all &= check("t37 fuse partial-aggregates", "partial_sum" in p or "partial" in p)
+    ok_all &= check("t37 no Python", "EvalPython" not in p)
+
+    # 22g. kg_node2vec second-order walks: both per-step joins are hash
+    # equi-joins (no nested-loop fallback from the bias-class lookup),
+    # argmax partial-aggregated, no Python
+    p = plan_of(REGISTRY["kg_node2vec_walks"].fn(spark, sf_dir))
+    ok_all &= check(
+        "kg_node2vec no nested-loop join",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    )
+    ok_all &= check("kg_node2vec argmax partial-aggregated", "partial_max" in p)
+    ok_all &= check("kg_node2vec no Python", "EvalPython" not in p)
+
     # 23. GUARD: no split() re-evaluated inside a higher-order lambda
     # body — the O(tokens²) re-split anti-pattern (shingled r2 →
     # dup_spans/chunking r4, 9–11× measured waste). Reads the ANALYZED
