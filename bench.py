@@ -190,6 +190,13 @@ def main() -> None:
         "bm25_ranking",
         lambda: _count(REGISTRY["t25_bm25_ranking"].fn(spark, sf_dir)),
     )
+    # r5: hybrid retrieval — BM25 × quality rankings fused (RRF); the
+    # marginal cost over bm25_ranking is the quality scan + two
+    # TakeOrderedAndProject cuts + one tiny groupBy
+    timed(
+        "hybrid_rrf",
+        lambda: _count(REGISTRY["t37_hybrid_rrf"].fn(spark, sf_dir)),
+    )
     timed(
         "text_stats",
         lambda: _count(
