@@ -865,3 +865,64 @@ def _ppr_driver(
         dangling = r[no_out].sum()
         r = (1.0 - damping) * tp + damping * dangling * tp + damping * contrib
     return [(v, float(r[pos[v]])) for v in ids]
+
+
+def match_pattern(
+    edges: DataFrame,
+    pattern: list[tuple[str, str | None, str]],
+    bindings: dict[str, str] | None = None,
+) -> DataFrame:
+    """Conjunctive basic-graph-pattern match — the general form of the
+    Cypher ``MATCH (a)-[:P1]->(b)-[:P2]->(c) ...`` queries the reference
+    answers from Neo4j (`backend/app/utils/neo4j_client.py`):
+    ``pattern`` is a list of triple patterns ``(var_a, pred, var_b)``
+    (``pred=None`` matches any predicate; the same variable name means
+    the same node everywhere, so cycles like ``(a,p1,b),(b,p2,a)`` are
+    expressible); ``bindings`` pins variables to constants. Returns one
+    column per variable in first-appearance order, one row per DISTINCT
+    variable binding (set semantics, like ``two_hop_paths``).
+
+    Scale shape: each triple pattern is a plain predicate filter, so it
+    PUSHES DOWN to the edge scan (pred-partitioned or src-bucketed edge
+    tables prune before any shuffle); constant bindings push down the
+    same way; each step joins on the shared variables — hash equi-joins
+    Catalyst/AQE can reorder and size. A triple sharing NO variable
+    with the accumulated prefix is REFUSED (``ValueError``) — a
+    disconnected pattern is a cross product, the one plan shape this
+    module never emits. Hot intermediate variables go through
+    operators/skew.salted_join with the same per-step frames.
+    """
+    if not pattern:
+        raise ValueError("pattern must contain at least one triple")
+    bindings = bindings or {}
+    order: list[str] = []
+    acc = None
+    for va, pred, vb in pattern:
+        t = edges if pred is None else edges.filter(F.col("pred") == pred)
+        if va == vb:
+            t = (
+                t.filter(F.col("src") == F.col("dst"))
+                .select(F.col("src").alias(va))
+                .distinct()
+            )
+        else:
+            t = t.select(F.col("src").alias(va), F.col("dst").alias(vb)).distinct()
+        for v, const in bindings.items():
+            if v in t.columns:
+                t = t.filter(F.col(v) == const)
+        for v in (va, vb):
+            if v not in order:
+                order.append(v)
+        if acc is None:
+            acc = t
+        else:
+            shared = [c for c in t.columns if c in acc.columns]
+            if not shared:
+                raise ValueError(
+                    f"triple ({va}, {pred}, {vb}) shares no variable with "
+                    "the preceding pattern prefix — reorder the pattern to "
+                    "keep it connected (a disconnected pattern is a cross "
+                    "product)"
+                )
+            acc = acc.join(t, shared)
+    return acc.select(*order).distinct()

@@ -2137,6 +2137,42 @@ def kg_vpaths(spark, sf):
     return var_length_paths(edges, "acquired", max_len=3)
 
 
+@q(
+    "kg_graph_pattern",
+    # The general conjunctive BGP matcher vs the same pattern written as
+    # plain self-joins in DuckDB: chain + branch — acquirer c1
+    # -acquired-> c2 -founded_by-> p, with c1 -headquartered_in-> city
+    # ("founders whose company was acquired, by acquirer HQ city";
+    # 158 bindings on the golden graph). Parked past the recorded cap BY
+    # DESIGN: kg_path_2hop / kg_var_paths carry the pattern family's
+    # recorded gates (the late-r4 precedent).
+    "WITH e AS (SELECT DISTINCT subj_id AS s, pred, obj_id AS d "
+    f"FROM '{REPO_FIXTURES}/golden_triples.parquet') "
+    "SELECT DISTINCT a.s AS c1, a.d AS c2, f.d AS p, h.d AS city "
+    "FROM e a JOIN e f ON f.pred = 'founded_by' AND a.d = f.s "
+    "JOIN e h ON h.pred = 'headquartered_in' AND h.s = a.s "
+    "WHERE a.pred = 'acquired'",
+    "Cypher-style conjunctive pattern MATCH "
+    "(c1)-[:acquired]->(c2)-[:founded_by]->(p), "
+    "(c1)-[:headquartered_in]->(city): per-triple predicate filters "
+    "push to the edge scan, steps join on shared variables (hash "
+    "equi-joins, AQE-reorderable), disconnected patterns refused — "
+    "never a cartesian",
+)
+def kg_pattern(spark, sf):
+    from graphlab_spark.operators.graph_query import match_pattern
+
+    edges = _kg_pipeline(spark)["edges"].select("src", "pred", "dst")
+    return match_pattern(
+        edges,
+        [
+            ("c1", "acquired", "c2"),
+            ("c2", "founded_by", "p"),
+            ("c1", "headquartered_in", "city"),
+        ],
+    )
+
+
 def _type_rules() -> dict[str, tuple[str, str]]:
     from graphlab_spark.sources.corpus import RELATION_TEMPLATES
 
@@ -2803,6 +2839,7 @@ reorder_registry_last(
         # oracled, parked this round (every entry carries an r1–r4
         # driver record; re-verified via check_oracles each session)
         "d07_neardup_keepers",
+        "kg_graph_pattern",
         "a03_ilike_search",
         "t21_cut_duplicate_spans",
         "t24_chunk_documents",

@@ -565,3 +565,90 @@ def test_weighted_pagerank_duplicate_edges_sum_weights(spark):
     want = {r.id: r.rank for r in weighted_pagerank(one, n_iter=10).collect()}
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12, k
+
+
+# ------------------------------------------------------ pattern match
+
+
+def test_match_pattern_chain_cycle_bindings(spark):
+    from graphlab_spark.operators.graph_query import match_pattern
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "knows", "b"),
+            ("b", "knows", "c"),
+            ("c", "knows", "a"),
+            ("a", "likes", "c"),
+            ("b", "likes", "b"),  # self-loop
+            ("x", "knows", "y"),
+        ],
+        "src string, pred string, dst string",
+    )
+    # chain (u)-[:knows]->(v)-[:knows]->(w)
+    chain = {
+        (r.u, r.v, r.w)
+        for r in match_pattern(
+            edges, [("u", "knows", "v"), ("v", "knows", "w")]
+        ).collect()
+    }
+    assert chain == {("a", "b", "c"), ("b", "c", "a"), ("c", "a", "b")}
+    # cycle (u)->(v)->(u): same var closes the loop
+    cyc = {
+        (r.u, r.v)
+        for r in match_pattern(
+            edges, [("u", "knows", "v"), ("v", "likes", "u")]
+        ).collect()
+    }
+    assert cyc == {("c", "a")}  # c-knows->a, a-likes->c closes the loop
+    # binding pins a variable to a constant
+    bound = match_pattern(
+        edges,
+        [("u", "knows", "v"), ("v", "knows", "w")],
+        bindings={"u": "a"},
+    ).collect()
+    assert [(r.u, r.v, r.w) for r in bound] == [("a", "b", "c")]
+    # pred=None matches any predicate
+    anyp = {
+        (r.u, r.v)
+        for r in match_pattern(edges, [("u", None, "v")], {"u": "a"}).collect()
+    }
+    assert anyp == {("a", "b"), ("a", "c")}
+    # self-loop triple pattern (same var both ends)
+    loops = {r.z for r in match_pattern(edges, [("z", "likes", "z")]).collect()}
+    assert loops == {"b"}
+
+
+def test_match_pattern_guards(spark):
+    import pytest
+
+    from graphlab_spark.operators.graph_query import match_pattern
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b")], "src string, pred string, dst string"
+    )
+    with pytest.raises(ValueError):
+        match_pattern(edges, [])
+    with pytest.raises(ValueError):  # disconnected = cross product
+        match_pattern(edges, [("u", "p", "v"), ("x", "p", "y")])
+
+
+def test_match_pattern_generalizes_two_hop(spark):
+    from graphlab_spark.operators.graph_query import match_pattern, two_hop_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "p1", "b"), ("b", "p2", "c"), ("a", "p2", "c"),
+            ("b", "p1", "a"), ("a", "p1", "c"), ("c", "p2", "d"),
+        ],
+        "src string, pred string, dst string",
+    )
+    via_pattern = {
+        (r.s, r.m, r.d)
+        for r in match_pattern(
+            edges, [("s", "p1", "m"), ("m", "p2", "d")]
+        ).collect()
+    }
+    via_2hop = {
+        (r.src, r.mid, r.dst) for r in two_hop_paths(edges, "p1", "p2").collect()
+    }
+    assert via_pattern == via_2hop

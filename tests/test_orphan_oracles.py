@@ -48,6 +48,7 @@ def test_cap_split_is_intentional():
     # record and its modmul change is hash-verified by check_oracles).
     parked_oracled = {
         "d07_neardup_keepers",
+        "kg_graph_pattern",
         "a03_ilike_search",
         "t21_cut_duplicate_spans",
         "t24_chunk_documents",

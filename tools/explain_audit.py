@@ -596,6 +596,17 @@ def main() -> None:
     ok_all &= check("kg_node2vec argmax partial-aggregated", "partial_max" in p)
     ok_all &= check("kg_node2vec no Python", "EvalPython" not in p)
 
+    # 22h. kg_graph_pattern: conjunctive BGP — every step a hash
+    # equi-join (the connectivity guard means no cartesian can appear),
+    # per-triple predicate filters present pre-join, no Python
+    p = plan_of(REGISTRY["kg_graph_pattern"].fn(spark, sf_dir))
+    ok_all &= check(
+        "kg_graph_pattern no cartesian/nested-loop",
+        "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    )
+    ok_all &= check("kg_graph_pattern predicate filters applied", "acquired" in p)
+    ok_all &= check("kg_graph_pattern no Python", "EvalPython" not in p)
+
     # 23. GUARD: no split() re-evaluated inside a higher-order lambda
     # body — the O(tokens²) re-split anti-pattern (shingled r2 →
     # dup_spans/chunking r4, 9–11× measured waste). Reads the ANALYZED
