@@ -756,6 +756,38 @@ def t27(spark, sf):
     )
 
 
+@q(
+    "t38_unigram_ids",
+    # Unigram-LM (SentencePiece) token-ID sequences under the frozen
+    # integer-quantized vocab — the t27 golden-join pattern (ids frozen
+    # '-'-joined, keyed by md5(text)); an id-space, Viterbi-DP, or
+    # tie-break bug breaks the hash. Parked past the recorded cap BY
+    # DESIGN: t12/t27 carry the tokenizer family's recorded gates.
+    "SELECT d.doc_id, f.ids_str FROM documents d "
+    f"JOIN '{REPO_FIXTURES}/golden_unigram_ids.parquet' f "
+    "ON md5(d.text) = f.text_md5 WHERE d.doc_id < 400",
+    "unigram-LM token-ID encoding (Kudo 2018): EM-trained piece "
+    "vocabulary, integer-quantized log-probs, exact int64 Viterbi "
+    "segmentation with a total deterministic tie-break; Arrow-batched "
+    "UDF with per-batch distinct-word cache",
+)
+def t38(spark, sf):
+    from graphlab_spark.functions.unigram import load_vocab, unigram_ids_col
+
+    vocab = load_vocab(f"{REPO_FIXTURES}/unigram_vocab.parquet")
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(unigram_ids_col(vocab), lambda x: x.cast("string")),
+                "-",
+            ).alias("ids_str"),
+        )
+    )
+
+
 def _hdr_sql(s: int = 16) -> str:
     """DuckDB mirror of hdr_build + hdr_quantiles over documents
     n_chars per source — every step exact integer arithmetic (bit-length
@@ -2840,6 +2872,7 @@ reorder_registry_last(
         # driver record; re-verified via check_oracles each session)
         "d07_neardup_keepers",
         "kg_graph_pattern",
+        "t38_unigram_ids",
         "a03_ilike_search",
         "t21_cut_duplicate_spans",
         "t24_chunk_documents",

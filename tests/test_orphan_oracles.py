@@ -49,6 +49,7 @@ def test_cap_split_is_intentional():
     parked_oracled = {
         "d07_neardup_keepers",
         "kg_graph_pattern",
+        "t38_unigram_ids",
         "a03_ilike_search",
         "t21_cut_duplicate_spans",
         "t24_chunk_documents",
