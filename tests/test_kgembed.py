@@ -112,3 +112,51 @@ def test_rank_plan_broadcasts_eval_set_not_entities(spark, model, golden):
     assert "BroadcastNestedLoopJoin" in plan
     assert "partial_sum" in plan or "partial" in plan.lower()
     assert "EvalPython" not in plan
+
+
+# ------------------------------------------------------------ training
+
+
+def test_distributed_trainer_bitexact_equals_local(spark, golden):
+    import numpy as np
+
+    from graphlab_spark.operators.kgembed import (
+        transe_fit_distributed,
+        transe_fit_local,
+    )
+
+    tri_df = golden.limit(200)
+    triples = [(r.src, r.pred, r.dst) for r in tri_df.collect()]
+    l_ents, l_rels, lE, lR = transe_fit_local(triples, epochs=12)
+    d_ents, d_rels, dE, dR = transe_fit_distributed(tri_df, epochs=12)
+    assert l_ents == d_ents and l_rels == d_rels
+    # bit-exact: every cross-row reduction is an integer sum, every
+    # float op is elementwise on identical values
+    assert np.array_equal(lE, dE)
+    assert np.array_equal(lR, dR)
+
+
+def test_trained_model_beats_random_ranking(spark, golden):
+    from graphlab_spark.operators.kgembed import (
+        quantize_model,
+        transe_fit_local,
+        transe_tail_ranks,
+    )
+
+    triples = sorted(
+        {(r.src, r.pred, r.dst) for r in golden.collect()}
+    )
+    ents, rels, E, R = transe_fit_local(triples, epochs=400, lr=0.02)
+    ent_pdf, rel_pdf = quantize_model(ents, rels, E, R)
+    ent = spark.createDataFrame(ent_pdf)
+    rel = spark.createDataFrame(rel_pdf)
+    test = golden.filter(
+        F.substring(F.md5(F.concat_ws("|", "src", "pred", "dst")), 1, 1) == "1"
+    )
+    ranks = transe_tail_ranks(test, ent, rel)
+    n = ranks.count()
+    assert n >= 20
+    hits10 = ranks.filter(F.col("rank") <= 10).count()
+    # random tail ranking over |V| entities would hit@10 ≈ 10/|V|
+    n_ents = len(ents)
+    assert hits10 / n >= 5 * (10 / n_ents)
