@@ -97,3 +97,71 @@ def datacard(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.unionByName(total)
+
+
+def validate_expectations(
+    df: DataFrame, rules: list[tuple[str, str, object]]
+) -> DataFrame:
+    """Declarative data-contract validation (the Great-Expectations
+    pattern as ONE Spark job): ``rules`` is a list of
+    ``(column, rule, param)`` with rules
+
+    - ``not_null``          (param ignored)
+    - ``min`` / ``max``     value bound (inclusive), NULLs don't violate
+    - ``in_set``            param = allowed-value list, NULLs don't violate
+    - ``matches``           param = regexp that must match SOMEWHERE in
+                            the value (search semantics — ``rlike`` /
+                            DuckDB ``regexp_matches``; anchor with ^$
+                            for full-match), NULLs don't violate
+    - ``unique``            no duplicated non-null values
+
+    → long-format report ``(column, rule, param, n_violations, ok)``,
+    one row per rule.
+
+    Scale shape: every row-level rule is a ``SUM(CASE WHEN …)`` inside
+    ONE partial-aggregated scan — adding rules adds columns to the
+    aggregate, never passes; ``unique`` rides the same aggregate as
+    ``count(col) − countDistinct(col)`` (exact — plan grows an Expand
+    per unique-rule, the table_stats trade-off; keep unique rules to
+    key columns). The single output row explodes to the long report
+    (the table_stats shape).
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs = []
+    for i, (col, rule, param) in enumerate(rules):
+        c = F.col(col)
+        if rule == "not_null":
+            bad = c.isNull()
+        elif rule == "min":
+            bad = c < F.lit(param)
+        elif rule == "max":
+            bad = c > F.lit(param)
+        elif rule == "in_set":
+            bad = ~c.isin(list(param)) & c.isNotNull()
+        elif rule == "matches":
+            bad = ~c.rlike(str(param)) & c.isNotNull()
+        elif rule == "unique":
+            aggs.append(
+                (F.count(c) - F.countDistinct(c)).alias(f"_v{i}")
+            )
+            continue
+        else:
+            raise ValueError(f"unknown rule: {rule!r}")
+        aggs.append(
+            F.coalesce(F.sum(bad.cast("long")), F.lit(0)).alias(f"_v{i}")
+        )
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("column"),
+                F.lit(rule).alias("rule"),
+                F.lit("" if param is None else str(param)).alias("param"),
+                F.col(f"_v{i}").alias("n_violations"),
+                (F.col(f"_v{i}") == 0).alias("ok"),
+            )
+            for i, (col, rule, param) in enumerate(rules)
+        ]
+    )
+    return one.select(F.explode(rows).alias("s")).select("s.*")

@@ -7,8 +7,9 @@ question — "what was this entity's attribute value AT crawl T" — by
 maintaining one history table with ``valid_from``/``valid_to`` crawl
 ids per attribute version. This is the standard warehouse type-2
 dimension discipline applied to KG provenance (the reference keeps
-only latest-state rows and timestamps — `backend/app/models/keyword.py`
-created_at/updated_at — so point-in-time reads are impossible there;
+only latest-state rows and timestamps —
+`backend/app/models/lab.py:26-27` created_at/updated_at with
+onupdate=func.now() — so point-in-time reads are impossible there;
 this is the beyond-reference capability that makes them possible).
 
 Versions are keyed by CRAWL ID (monotone BIGINT), not wall-clock:

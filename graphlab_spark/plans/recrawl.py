@@ -12,7 +12,7 @@ three artifacts, not one:
 3. the SCD2 HISTORY — every entity attribute versioned by crawl id so
    "what did we believe about X at crawl T" stays answerable
    (``scd.scd2_apply``; the reference keeps only latest-state rows —
-   `backend/app/models/keyword.py` created_at/updated_at — so this
+   `backend/app/models/lab.py:26-27` created_at/updated_at — so this
    longitudinal read is a beyond-reference capability).
 
 Scale shape per publication: the edge delta is ONE hash full-outer

@@ -592,6 +592,52 @@ def a32(spark, sf):
     )
 
 
+@q(
+    "a33_expectations",
+    # Declarative data-contract validation replayed as SUM(CASE) /
+    # COUNT−COUNT(DISTINCT) in DuckDB — one aggregate both engines.
+    # Mixed pass/fail rules so the gate is non-trivial (the max-bound
+    # rule genuinely fails on this corpus). Registered parked BY DESIGN
+    # (a09/a14/a31 carry the aggregate family's recorded gates).
+    "WITH v AS (SELECT "
+    "CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0, "
+    "CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) AS v1, "
+    "CAST(SUM(CASE WHEN n_chars < 1 THEN 1 ELSE 0 END) AS BIGINT) AS v2, "
+    "CAST(SUM(CASE WHEN n_chars > 600 THEN 1 ELSE 0 END) AS BIGINT) AS v3, "
+    "CAST(SUM(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') "
+    "AND lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS v4, "
+    "CAST(SUM(CASE WHEN NOT regexp_matches(source, '^[a-z_]+$') "
+    "AND source IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS v5 "
+    "FROM documents) "
+    "SELECT 'doc_id' AS column, 'not_null' AS rule, '' AS param, "
+    "v0 AS n_violations, v0 = 0 AS ok FROM v "
+    "UNION ALL SELECT 'doc_id', 'unique', '', v1, v1 = 0 FROM v "
+    "UNION ALL SELECT 'n_chars', 'min', '1', v2, v2 = 0 FROM v "
+    "UNION ALL SELECT 'n_chars', 'max', '600', v3, v3 = 0 FROM v "
+    "UNION ALL SELECT 'lang', 'in_set', '[''en'', ''de'', ''fr'', ''es'']', "
+    "v4, v4 = 0 FROM v "
+    "UNION ALL SELECT 'source', 'matches', '^[a-z_]+$', v5, v5 = 0 FROM v",
+    "declarative data-contract validation (not_null/unique/min/max/"
+    "in_set/matches) — every row rule a SUM(CASE) inside ONE "
+    "partial-aggregated scan; unique rides the same aggregate as "
+    "count − countDistinct; long-format per-rule report",
+)
+def a33(spark, sf):
+    from graphlab_spark.operators.analyze import validate_expectations
+
+    return validate_expectations(
+        _t(spark, sf, "documents"),
+        [
+            ("doc_id", "not_null", None),
+            ("doc_id", "unique", None),
+            ("n_chars", "min", 1),
+            ("n_chars", "max", 600),
+            ("lang", "in_set", ["en", "de", "fr", "es"]),
+            ("source", "matches", "^[a-z_]+$"),
+        ],
+    )
+
+
 # -------------------------------------------------- headline bench queries
 
 @q(

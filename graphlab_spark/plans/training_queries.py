@@ -2873,6 +2873,7 @@ reorder_registry_last(
         "d07_neardup_keepers",
         "kg_graph_pattern",
         "t38_unigram_ids",
+        "a33_expectations",
         "a03_ilike_search",
         "t21_cut_duplicate_spans",
         "t24_chunk_documents",

@@ -87,3 +87,75 @@ def test_datacard_sections_consistent(spark):
     for sec in ("lang", "source"):
         assert sum(r.n_docs for r in by_sec[sec]) == total.n_docs
         assert sum(r.n_tokens for r in by_sec[sec]) == total.n_tokens
+
+
+# ------------------------------------------------------- expectations
+
+
+def test_validate_expectations_rules(spark):
+    from graphlab_spark.operators.analyze import validate_expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 10, "web_a"),
+            (2, "en", 700, "web_b"),   # violates max 600
+            (2, "xx", 5, "Web_C"),     # dup id; bad lang; bad source case
+            (None, None, None, None),  # null id violates not_null only
+        ],
+        "doc_id int, lang string, n_chars int, source string",
+    )
+    rep = {
+        (r.column, r.rule): (r.param, r.n_violations, r.ok)
+        for r in validate_expectations(
+            df,
+            [
+                ("doc_id", "not_null", None),
+                ("doc_id", "unique", None),
+                ("n_chars", "min", 1),
+                ("n_chars", "max", 600),
+                ("lang", "in_set", ["en", "de"]),
+                ("source", "matches", "^[a-z_]+$"),
+            ],
+        ).collect()
+    }
+    assert rep[("doc_id", "not_null")] == ("", 1, False)
+    assert rep[("doc_id", "unique")] == ("", 1, False)
+    assert rep[("n_chars", "min")] == ("1", 0, True)   # NULL doesn't violate
+    assert rep[("n_chars", "max")] == ("600", 1, False)
+    assert rep[("lang", "in_set")] == ("['en', 'de']", 1, False)
+    assert rep[("source", "matches")] == ("^[a-z_]+$", 1, False)
+
+
+def test_validate_expectations_empty_and_guards(spark):
+    import pytest
+
+    from graphlab_spark.operators.analyze import validate_expectations
+
+    empty = spark.createDataFrame([], "doc_id int")
+    rep = validate_expectations(
+        empty, [("doc_id", "not_null", None), ("doc_id", "unique", None)]
+    ).collect()
+    assert all(r.n_violations == 0 and r.ok for r in rep)
+    with pytest.raises(ValueError):
+        validate_expectations(empty, [])
+    with pytest.raises(ValueError):
+        validate_expectations(empty, [("doc_id", "between", (1, 2))])
+
+
+def test_validate_expectations_single_aggregate_plan(spark):
+    """All row rules + unique ride ONE aggregation job — no second scan
+    of the table and no Python."""
+    from graphlab_spark.operators.analyze import validate_expectations
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = validate_expectations(
+        docs,
+        [
+            ("doc_id", "not_null", None),
+            ("n_chars", "min", 1),
+            ("lang", "in_set", ["en", "de", "fr", "es"]),
+        ],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "EvalPython" not in plan

@@ -50,6 +50,7 @@ def test_cap_split_is_intentional():
         "d07_neardup_keepers",
         "kg_graph_pattern",
         "t38_unigram_ids",
+        "a33_expectations",
         "a03_ilike_search",
         "t21_cut_duplicate_spans",
         "t24_chunk_documents",
