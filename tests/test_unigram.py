@@ -134,3 +134,30 @@ def test_spark_encoder_matches_frozen_golden(spark, repo_root):
     assert len(j) > 100
     for r in j:
         assert r.ids_str is not None and r.live_ids == r.ids_str, r.doc_id
+
+
+def test_pack_shards_accepts_unigram_counts(spark, repo_root):
+    """The shard packer budgets on unigram subword counts exactly as it
+    does on BPE counts — the tokenizer family is interchangeable at the
+    export seam (size(ids) is the count by construction)."""
+    from graphlab_spark.operators.sampling import pack_shards
+
+    vocab = load_vocab(f"{repo_root}/fixtures/unigram_vocab.parquet")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id", "text", F.size(unigram_ids_col(vocab)).alias("n_uni")
+        )
+    )
+    packed = pack_shards(docs, budget_tokens=500, n_buckets=8, count_col="n_uni")
+    rows = packed.collect()
+    assert len(rows) == 200
+    uni = {r.doc_id: r.n_uni for r in docs.collect()}
+    assert all(r.n_tokens == uni[r.doc_id] for r in rows)
+    agg: dict = {}
+    for r in sorted(rows, key=lambda r: (r.bucket, r.doc_id)):
+        agg.setdefault((r.bucket, r.chunk_id), []).append(r.n_tokens)
+    for toks in agg.values():
+        assert sum(toks) < 500 + toks[-1]
+    assert any(r.chunk_id > 0 for r in rows)
