@@ -739,3 +739,52 @@ def test_pagerank_incremental_distributed_matches_driver(spark):
     assert set(fast) == set(dist)
     for k in fast:
         assert abs(fast[k] - dist[k]) < 1e-7, k
+
+
+def test_match_pattern_randomized_vs_bruteforce(spark):
+    """Seeded random graphs × random connected patterns vs a pure-python
+    brute-force enumerator — the property examples can miss."""
+    import itertools
+    import random
+
+    from graphlab_spark.operators.graph_query import match_pattern
+
+    def brute(edge_set, pattern):
+        nodes = sorted({n for s, _, d in edge_set for n in (s, d)})
+        variables = []
+        for va, _, vb in pattern:
+            for v in (va, vb):
+                if v not in variables:
+                    variables.append(v)
+        out = set()
+        for combo in itertools.product(nodes, repeat=len(variables)):
+            bind = dict(zip(variables, combo))
+            if all(
+                (bind[va], p, bind[vb]) in edge_set
+                or (p is None and any((bind[va], q, bind[vb]) in edge_set
+                                      for q in preds))
+                for va, p, vb in pattern
+            ):
+                out.add(tuple(bind[v] for v in variables))
+        return out
+
+    preds = ["p1", "p2", "p3"]
+    patterns = [
+        [("x", "p1", "y"), ("y", "p2", "z")],
+        [("x", "p1", "y"), ("y", "p2", "x")],
+        [("x", "p1", "y"), ("x", "p2", "z"), ("z", "p3", "y")],
+        [("x", None, "y"), ("y", "p1", "z")],
+    ]
+    for seed in range(3):
+        rng = random.Random(seed)
+        nodes = [f"v{i}" for i in range(10)]
+        edge_set = {
+            (rng.choice(nodes), rng.choice(preds), rng.choice(nodes))
+            for _ in range(45)
+        }
+        edges = spark.createDataFrame(
+            sorted(edge_set), "src string, pred string, dst string"
+        )
+        for pattern in patterns:
+            got = {tuple(r) for r in match_pattern(edges, pattern).collect()}
+            assert got == brute(edge_set, pattern), (seed, pattern)
