@@ -37,3 +37,46 @@ def load_tables(
     spark: SparkSession, sf_dir: str | None = None, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
     return {n: load_table(spark, n, sf_dir) for n in (names or TABLE_NAMES)}
+
+
+def read_evolving(
+    spark: SparkSession,
+    paths: list[str],
+    expected_schema: str,
+    strict_extras: bool = False,
+) -> DataFrame:
+    """Read parquet drops whose schemas DRIFTED across crawl months and
+    align them to one contract schema: ``mergeSchema`` unions the file
+    schemas (Spark's native evolution path — schema resolution happens
+    at planning time from footers, never a data pass), then
+
+    - columns MISSING from old drops surface as typed NULLs (what
+      mergeSchema already gives — pinned, not assumed);
+    - columns missing from ALL drops are added as typed NULL literals
+      (the contract is the caller's schema, not the union);
+    - extra columns the contract doesn't know are DROPPED (column
+      pruning: the scan never reads their pages) — or rejected when
+      ``strict_extras=True`` (ingestion-contract enforcement);
+    - every contract column is cast to its contract type (safe
+      widenings like int→long resolve here; Spark's ANSI cast raises
+      on lossy ones rather than corrupting silently).
+
+    The Iceberg twin is automatic (column-id-based evolution); this is
+    the plain-parquet seam with the same contract semantics.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    want = T.StructType.fromDDL(expected_schema)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    have = {f.name for f in df.schema.fields}
+    extras = sorted(have - {f.name for f in want.fields})
+    if strict_extras and extras:
+        raise ValueError(f"unexpected columns in source drops: {extras}")
+    cols = []
+    for f in want.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
