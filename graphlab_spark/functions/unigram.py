@@ -63,7 +63,15 @@ def substring_counts(
     ``transform`` over ``sequence`` (hoisted projections — the t20
     lesson: nothing re-evaluates inside a lambda), flatten, explode,
     ONE partial-agg groupBy."""
-    wc = word_counts(df, text_col)
+    return substring_counts_from_wc(word_counts(df, text_col), max_len)
+
+
+def substring_counts_from_wc(
+    wc: DataFrame, max_len: int = MAX_PIECE_LEN
+) -> DataFrame:
+    """The substring-explode half of :func:`substring_counts`, over an
+    existing (word, cnt) table — what the distributed trainer seeds
+    from (so min_count/max_words truncation applies to seeding too)."""
     n = F.length(F.col("word"))
     subs = F.flatten(
         F.transform(
@@ -79,6 +87,30 @@ def substring_counts(
         .groupBy("piece")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def seed_vocab_distributed(
+    wc: DataFrame, max_pieces: int = 2000, max_len: int = MAX_PIECE_LEN
+) -> dict[str, float]:
+    """Distributed twin of :func:`seed_vocab`: the substring counts come
+    from the JVM partial-agg pass over the word table; only the SELECTED
+    vocabulary (every char + top ``max_pieces`` multi-char pieces by
+    (count desc, piece asc) — a TakeOrdered top-k, no global sort) is
+    collected, and the identical log(count/total) arithmetic runs
+    driver-side on the same integers — so the result equals
+    :func:`seed_vocab` over the same word table exactly (pinned)."""
+    sc = substring_counts_from_wc(wc, max_len)
+    chars = sc.filter(F.length("piece") == 1).collect()
+    multi = (
+        sc.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(max_pieces)
+        .collect()
+    )
+    counts = {r["piece"]: int(r["cnt"]) for r in chars}
+    counts.update({r["piece"]: int(r["cnt"]) for r in multi})
+    total = sum(counts.values())
+    return {p: math.log(c / total) for p, c in counts.items()}
 
 
 def seed_vocab(
@@ -195,7 +227,6 @@ def expected_counts_distributed(
 
 
 def _em_prune_loop(
-    word_freq: Counter,
     vocab: dict[str, float],
     vocab_size: int,
     estep,
@@ -247,8 +278,7 @@ def train_unigram(
             word_freq.update(pretokenize(t))
     vocab = seed_vocab(word_freq, max_pieces)
     return _em_prune_loop(
-        word_freq, vocab, vocab_size,
-        lambda v: expected_counts_local(word_freq, v),
+        vocab, vocab_size, lambda v: expected_counts_local(word_freq, v)
     )
 
 
@@ -273,11 +303,9 @@ def train_unigram_distributed(
     if max_words is not None:
         wc = wc.orderBy(F.col("cnt").desc(), F.col("word")).limit(max_words)
     wc = materialize(wc, "unigram_wc")  # EM re-reads it every iteration
-    word_freq = Counter({r["word"]: r["cnt"] for r in wc.select("word", "cnt").collect()})
-    vocab = seed_vocab(word_freq, max_pieces)  # seed table is vocab-sized
+    vocab = seed_vocab_distributed(wc, max_pieces)  # JVM pass; vocab-sized collect
     return _em_prune_loop(
-        word_freq, vocab, vocab_size,
-        lambda v: expected_counts_distributed(wc, v),
+        vocab, vocab_size, lambda v: expected_counts_distributed(wc, v)
     )
 
 

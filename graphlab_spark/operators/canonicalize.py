@@ -369,8 +369,10 @@ def cc_incremental(
     re-crawl adds O(delta) edges to a graph whose full CC run is the
     expensive vocabulary-scale step.
 
-    Scale shape — work is O(delta), plus ONE broadcast-join scan of the
-    prior labels:
+    Scale shape — work is O(delta), plus exactly TWO broadcast-join
+    scans of the prior labels (the endpoint semi-filter, pinned to
+    scratch so its consumers don't re-scan, and the final remap); the
+    prior is never shuffled:
     1. map the new edges' endpoints through the prior labels (two
        broadcast-able joins on the O(delta) side; endpoints the prior
        never saw label themselves) → a COMPONENT-level edge per new
@@ -387,27 +389,37 @@ def cc_incremental(
        untouched components pass through unchanged; brand-new nodes
        union in.
     """
+    from graphlab_spark.operators.scratch import materialize
+
     e = new_edges.select("a", "b")
     # Filter the corpus-sized prior down to the delta's endpoints with a
     # broadcast SEMI join (one scan, no shuffle of the big side) — a
     # plain left join of the delta against prior would have to shuffle
     # prior, since the left/preserved side of an outer join can't be the
-    # broadcast build side.
+    # broadcast build side. pe is O(delta) and consumed by THREE
+    # downstream frames (pa, pb, fresh) plus connected_components'
+    # double evaluation — pin it once so the prior is scanned exactly
+    # once here, not once per consumer (the frames stay pinned for the
+    # returned result's lifetime; dead-session scratch is reclaimed by
+    # the reaper).
     endpoints = (
         e.select(F.col("a").alias("item_id"))
         .unionByName(e.select(F.col("b").alias("item_id")))
         .distinct()
     )
-    pe = prior.join(F.broadcast(endpoints), "item_id", "left_semi")
+    pe = materialize(
+        prior.join(F.broadcast(endpoints), "item_id", "left_semi"), "ccinc_pe"
+    )
     pa = pe.select(F.col("item_id").alias("a"), F.col("component_id").alias("_ca"))
     pb = pe.select(F.col("item_id").alias("b"), F.col("component_id").alias("_cb"))
-    comp_edges = (
+    comp_edges = materialize(
         e.join(F.broadcast(pa), "a", "left")
         .join(F.broadcast(pb), "b", "left")
         .select(
             F.coalesce(F.col("_ca"), F.col("a")).alias("a"),
             F.coalesce(F.col("_cb"), F.col("b")).alias("b"),
-        )
+        ),
+        "ccinc_edges",
     )
     remap = connected_components(
         comp_edges, max_iter=max_iter, driver_threshold=driver_threshold

@@ -1019,7 +1019,17 @@ def pagerank_incremental(
         m = e.count()
         if m <= driver_max_edges:
             pairs = [(r.src, r.dst) for r in e.collect()]
-            init = {r.id: r.rank for r in prior_ranks.select("id", "rank").collect()}
+            # the prior may cover a much LARGER previous crawl than the
+            # (bounded) new graph — semi-join it down to the new node
+            # set before any collect, so the driver pull is ≤ n rows
+            # (the discipline: both bounds checked BEFORE any collect
+            # applies to the prior side too)
+            init = {
+                r.id: r.rank
+                for r in prior_ranks.select("id", "rank")
+                .join(F.broadcast(nodes), "id", "left_semi")
+                .collect()
+            }
             cleanup_prefix(tag)
             ranks, _ = _pagerank_power_warm(pairs, init, damping, tol, max_iter)
             return e.sparkSession.createDataFrame(ranks, "id string, rank double")
@@ -1088,7 +1098,7 @@ def pagerank_incremental(
     cleanup_prefix(f"{tag}_nodes")
     cleanup_prefix(f"{tag}_dangling")
     # every surviving intermediate except the returned vector
-    for j in range(0, final_idx):
-        if j != final_idx:
-            cleanup_prefix(f"{tag}_iter_{j:04d}")
+    # (range already excludes final_idx = the returned iteration)
+    for j in range(final_idx):
+        cleanup_prefix(f"{tag}_iter_{j:04d}")
     return ranks

@@ -46,17 +46,20 @@ def read_evolving(
     strict_extras: bool = False,
 ) -> DataFrame:
     """Read parquet drops whose schemas DRIFTED across crawl months and
-    align them to one contract schema: ``mergeSchema`` unions the file
-    schemas (Spark's native evolution path — schema resolution happens
-    at planning time from footers, never a data pass), then
+    align them to one contract schema. Each drop is read and aligned
+    SEPARATELY, then unioned by name — deliberately NOT ``mergeSchema``,
+    which refuses cross-file TYPE drift outright (``CANNOT_MERGE_SCHEMAS``
+    on an int→long column change between months, the most common drift
+    there is). Per-drop alignment is planning-time work on the footer
+    schema, never a data pass, and the union of a handful of monthly
+    drops adds no shuffle. Contract semantics per drop:
 
-    - columns MISSING from old drops surface as typed NULLs (what
-      mergeSchema already gives — pinned, not assumed);
-    - columns missing from ALL drops are added as typed NULL literals
-      (the contract is the caller's schema, not the union);
+    - columns MISSING from a drop surface as typed NULL literals (the
+      contract is the caller's schema, not any file's);
     - extra columns the contract doesn't know are DROPPED (column
-      pruning: the scan never reads their pages) — or rejected when
-      ``strict_extras=True`` (ingestion-contract enforcement);
+      pruning: that drop's scan never reads their pages — plan-pinned)
+      — or rejected when ``strict_extras=True`` (ingestion-contract
+      enforcement, reported across all drops);
     - every contract column is cast to its contract type (safe
       widenings like int→long resolve here; Spark's ANSI cast raises
       on lossy ones rather than corrupting silently).
@@ -68,15 +71,22 @@ def read_evolving(
     from pyspark.sql import types as T
 
     want = T.StructType.fromDDL(expected_schema)
-    df = spark.read.option("mergeSchema", "true").parquet(*paths)
-    have = {f.name for f in df.schema.fields}
-    extras = sorted(have - {f.name for f in want.fields})
+    extras: set[str] = set()
+    aligned = []
+    for p in paths:
+        df = spark.read.parquet(p)
+        have = {f.name for f in df.schema.fields}
+        extras |= have - {f.name for f in want.fields}
+        cols = []
+        for f in want.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        aligned.append(df.select(*cols))
     if strict_extras and extras:
-        raise ValueError(f"unexpected columns in source drops: {extras}")
-    cols = []
-    for f in want.fields:
-        if f.name in have:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    return df.select(*cols)
+        raise ValueError(f"unexpected columns in source drops: {sorted(extras)}")
+    out = aligned[0]
+    for a in aligned[1:]:
+        out = out.unionByName(a)
+    return out

@@ -71,3 +71,19 @@ def test_extras_are_pruned_from_the_scan(spark, tmp_path):
     df = read_evolving(spark, [str(tmp_path / "m")], CONTRACT)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "blob" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_type_drift_across_drops_widens(spark, tmp_path):
+    """The most common drift — a column's TYPE changes between months
+    (int -> long) — must align, not crash (parquet mergeSchema throws
+    CANNOT_MERGE_SCHEMAS on exactly this)."""
+    _write(spark, str(tmp_path / "m1"), [("u1", 100, "en")],
+           "url string, warc_ts int, lang string")
+    _write(spark, str(tmp_path / "m2"), [("u2", 2**40, "de")],
+           "url string, warc_ts long, lang string")
+    df = read_evolving(
+        spark, [str(tmp_path / "m1"), str(tmp_path / "m2")], CONTRACT
+    )
+    rows = {r.url: r.warc_ts for r in df.collect()}
+    assert rows == {"u1": 100, "u2": 2**40}
+    assert df.schema["warc_ts"].dataType.simpleString() == "bigint"

@@ -161,3 +161,20 @@ def test_pack_shards_accepts_unigram_counts(spark, repo_root):
     for toks in agg.values():
         assert sum(toks) < 500 + toks[-1]
     assert any(r.chunk_id > 0 for r in rows)
+
+
+def test_distributed_seed_matches_local(spark):
+    """seed_vocab_distributed (JVM substring pass + vocab-sized
+    collect) equals seed_vocab over the same word table exactly —
+    identical integers, identical log arithmetic."""
+    from graphlab_spark.functions.unigram import seed_vocab_distributed
+
+    wf = Counter()
+    for t in STEM_TEXTS:
+        wf.update(pretokenize(t))
+    wc = spark.createDataFrame(
+        [(w, int(c)) for w, c in sorted(wf.items())], "word string, cnt long"
+    ).repartition(3)
+    local = seed_vocab(wf, max_pieces=40)
+    dist = seed_vocab_distributed(wc, max_pieces=40)
+    assert dist == local

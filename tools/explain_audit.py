@@ -582,7 +582,9 @@ def main() -> None:
     # would be the scale bug), fuse partial-aggregated, no Python
     p = plan_of(REGISTRY["t37_hybrid_rrf"].fn(spark, sf_dir))
     ok_all &= check("t37 top-n via TakeOrderedAndProject", "TakeOrderedAndProject" in p)
-    ok_all &= check("t37 fuse partial-aggregates", "partial_sum" in p or "partial" in p)
+    # specifically the fused-score SUM in partial mode — a bare
+    # "partial" substring would pass for any hash aggregate
+    ok_all &= check("t37 fuse partial-aggregates", "partial_sum" in p)
     ok_all &= check("t37 no Python", "EvalPython" not in p)
 
     # 22g. kg_node2vec second-order walks: both per-step joins are hash
