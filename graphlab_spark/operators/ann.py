@@ -98,13 +98,31 @@ def brute_force_topk(
 
     → (query_id, neighbor_id, rank, score) with score rounded to 4 dp.
     """
+    # Norms are HOISTED into per-side projections (r6): sqrt(dot(v, v))
+    # is evaluated once per query row and once per corpus row instead of
+    # once per (query × corpus) pair inside cosine_col — the same
+    # expression over the same array yields the same double, and the
+    # final dot/(qn*nn) multiplies/divides in the same order, so scores
+    # are bit-identical while 2/3 of the per-pair aggregate loops (the
+    # two norms) leave the O(N·Q) hot loop.
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    corpus = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("_nn"),
+    )
     scored = (
         corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 4))
+        .withColumn(
+            "score",
+            F.round(
+                _dot(F.col("qvec"), F.col("nvec")) / (F.col("_qn") * F.col("_nn")), 4
+            ),
+        )
     )
     # rank by the ROUNDED score: raw doubles differ across engines at ~1e-9
     # and would flip near-tie orderings vs the oracle
@@ -175,9 +193,11 @@ def ivf_topk(
     C = _centroids(embeddings, n_centroids, id_col, vec_col)
     bc = spark.sparkContext.broadcast(C)
 
+    # norms hoisted per side (bit-identical — see brute_force_topk)
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("_nn"),
         cell_assign_udf(bc)(F.col(vec_col)).alias("cell"),
     )
     qside = (
@@ -185,15 +205,23 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
+            _norm(F.col(vec_col)).alias("_qn"),
             F.explode(probe_cells_udf(bc, n_probe)(F.col(vec_col))).alias("cell"),
         )
     )
+    # No dropDuplicates: the corpus assigns each vector to exactly ONE
+    # cell and a query's probe list is distinct cells, so a
+    # (query, neighbor) pair can match at most once in this join — the
+    # dedup was a provable no-op costing a full exchange (r6; unlike
+    # lsh_topk, where the same id pair can collide in several tables).
     cand = (
         corpus.join(F.broadcast(qside), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("score", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 4))
+    scored = cand.withColumn(
+        "score",
+        F.round(_dot(F.col("qvec"), F.col("nvec")) / (F.col("_qn") * F.col("_nn")), 4),
+    )
     return rank_topk(scored, k)
 
 
@@ -209,16 +237,33 @@ def lsh_topk(
     base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("_n"),  # hoisted (bit-identical, r6)
         F.explode(lsh_buckets_udf(F.col(vec_col))).alias("tb"),
-    ).select("vid", "vec", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    ).select(
+        "vid", "vec", "_n", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
     qside = base.filter(F.col("vid").isin(query_ids)).select(
-        F.col("vid").alias("query_id"), F.col("vec").alias("qvec"), "table", "bucket"
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("_n").alias("_qn"),
+        "table",
+        "bucket",
     )
     cand = (
         base.join(F.broadcast(qside), ["table", "bucket"])
         .filter(F.col("vid") != F.col("query_id"))
-        .select(F.col("query_id"), F.col("vid").alias("neighbor_id"), "qvec", F.col("vec").alias("nvec"))
+        .select(
+            F.col("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            "qvec",
+            F.col("vec").alias("nvec"),
+            "_qn",
+            F.col("_n").alias("_nn"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("score", F.round(cosine_col(F.col("qvec"), F.col("nvec")), 4))
+    scored = cand.withColumn(
+        "score",
+        F.round(_dot(F.col("qvec"), F.col("nvec")) / (F.col("_qn") * F.col("_nn")), 4),
+    )
     return rank_topk(scored, k)

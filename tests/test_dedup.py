@@ -184,3 +184,41 @@ def test_mulmod61_exact_vs_bigint():
         for b in (0, 1, _MERSENNE - 1, (1 << 60) + 999):
             g = int(_mulmod61(np.array([a]), np.array([b]))[0])
             assert g == (a * b) % _MERSENNE, (a, b, g)
+
+
+def test_permute_min31_exact_vs_bigint():
+    """r6: the 31-bit permutation family (document-dedup path) must be
+    exact — with a, b, h < 2^31-1 every a*h + b stays below 2^62, so
+    one int64 multiply + one mod is overflow-free. Pin it against
+    Python bigint arithmetic so a future constant change (wider family,
+    bigger seed range) can't silently reintroduce the r5 wrap bug."""
+    import numpy as np
+
+    from graphlab_spark.operators.dedup import (
+        _HASH_A31,
+        _HASH_B31,
+        _MERSENNE31,
+        _permute_min31,
+    )
+
+    assert int(_HASH_A31.max()) < _MERSENNE31 and int(_HASH_B31.max()) < _MERSENNE31
+    rng = np.random.RandomState(17)
+    for size in (1, 7, 257):
+        hv = rng.randint(0, _MERSENNE31, size=size, dtype=np.int64)
+        got = _permute_min31(hv)
+        exp = [
+            min(
+                (int(h) * int(a) + int(b)) % _MERSENNE31
+                for h in hv
+            )
+            for a, b in zip(_HASH_A31, _HASH_B31)
+        ]
+        assert got == exp
+    # boundary values: the largest representable inputs cannot overflow
+    edge = np.array([_MERSENNE31 - 1, 0, 1], dtype=np.int64)
+    got = _permute_min31(edge)
+    exp = [
+        min((int(h) * int(a) + int(b)) % _MERSENNE31 for h in edge)
+        for a, b in zip(_HASH_A31, _HASH_B31)
+    ]
+    assert got == exp
