@@ -77,6 +77,13 @@ def perplexity_frame(
     # V is a fixture property (tiny file): distinct unigrams + 1 OOV type
     n_vocab = uni.count() + 1
 
+    # tokenize + bigram explode + broadcast lookups all run BEFORE any
+    # exchange — spread an under-parallel scan across the cores (r6;
+    # no-op at scale). A doc's bigrams stay within one partition, so
+    # the per-doc logprob summation order is unchanged.
+    from graphlab_spark.operators.scratch import spread
+
+    docs = spread(docs)
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     pairs = F.expr(
         "transform(slice(_toks, 1, size(_toks) - 1), "

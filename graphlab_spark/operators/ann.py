@@ -104,7 +104,12 @@ def brute_force_topk(
     # expression over the same array yields the same double, and the
     # final dot/(qn*nn) multiplies/divides in the same order, so scores
     # are bit-identical while 2/3 of the per-pair aggregate loops (the
-    # two norms) leave the O(N·Q) hot loop.
+    # two norms) leave the O(N·Q) hot loop. The corpus side is spread
+    # across the cores first: the O(N·Q) scoring loop is the cost
+    # centre and a single-row-group input would run it on one core.
+    from graphlab_spark.operators.scratch import spread
+
+    embeddings = spread(embeddings)
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -193,6 +198,10 @@ def ivf_topk(
     C = _centroids(embeddings, n_centroids, id_col, vec_col)
     bc = spark.sparkContext.broadcast(C)
 
+    # spread an under-parallel corpus before the per-row cell-assign UDF
+    from graphlab_spark.operators.scratch import spread
+
+    embeddings = spread(embeddings)
     # norms hoisted per side (bit-identical — see brute_force_topk)
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
@@ -234,6 +243,9 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: same-bucket candidates in any table, exact
     cosine re-rank. Recall < 1 by design; bounded candidate fan-out."""
+    from graphlab_spark.operators.scratch import spread
+
+    embeddings = spread(embeddings)  # per-row bucket UDF is the cost centre
     base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),

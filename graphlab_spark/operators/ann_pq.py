@@ -159,9 +159,14 @@ def ivfpq_encode(
     """→ (neighbor_id, cell, codes): the compressed corpus — M small
     int codes/vector instead of 64 floats (16× vs float32 at M=16, the
     reason the index fits memory at 10^12 vectors)."""
+    from graphlab_spark.operators.scratch import spread
+
     spark = embeddings.sparkSession
     bc_cq = spark.sparkContext.broadcast(model[0])
     bc_cb = spark.sparkContext.broadcast(model[1])
+    # the per-row encode UDF is the cost centre — spread an
+    # under-parallel corpus scan across the cores (no-op at scale)
+    embeddings = spread(embeddings)
     return embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         encode_udf(bc_cq, bc_cb)(F.col(vec_col)).alias("e"),
@@ -226,10 +231,13 @@ def ivfpq_topk(
         F.col(vec_col).alias("qvec"),
         F.explode(probe_udf(bc_cq, n_probe)(F.col(vec_col))).alias("cell"),
     )
+    # no dropDuplicates: encode assigns each corpus vector exactly ONE
+    # cell and a query's probe list is distinct cells, so (query,
+    # neighbor) matches at most once — the dedup was a no-op exchange
+    # (r6, same proof as ann.ivf_topk)
     cand = (
         enc.join(F.broadcast(qside), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn(
         "score",
@@ -312,7 +320,8 @@ def ivfpq_search(
     cand = codes.join(F.broadcast(qprobes), "cell")
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    # no dropDuplicates — one cell per indexed vector (append contract:
+    # ids are new), distinct probe cells per query (r6, see ivfpq_topk)
     scored = cand.withColumn(
         "score",
         F.round(score_udf(bc_cq, bc_cb)(F.col("qvec"), F.col("cell"), F.col("codes")), 4),

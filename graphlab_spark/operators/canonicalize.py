@@ -141,9 +141,14 @@ def connected_components(
     from graphlab_spark.operators.scratch import materialize
 
     spark = edges.sparkSession
-    small = edges.limit(driver_threshold + 1).count() <= driver_threshold
-    if small:
-        rows = [(r[0], r[1]) for r in edges.select("a", "b").collect()]
+    # ONE evaluation decides the switch AND feeds the fast path: collect
+    # limit(threshold+1) up front instead of count-then-collect — the
+    # old probe ran the whole upstream pair pipeline TWICE (an O(n²)
+    # verify join or a GEMM stage for semantic_dedup/neardup_keepers
+    # callers), and the size guard bounds the collect exactly as before.
+    head = edges.select("a", "b").limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        rows = [(r[0], r[1]) for r in head]
         mapping = _driver_union_find(rows)
         if not mapping:
             return spark.createDataFrame([], "item_id string, component_id string")

@@ -41,6 +41,10 @@ def curation_funnel(
     from graphlab_spark.operators.dedup import exact_dedup
     from graphlab_spark.operators.sampling import domain_quota
 
+    # Deliberately NOT spread(): the funnel is several independent agg
+    # branches over the same scan, and a round-robin exchange per branch
+    # costs more than the per-doc scoring saves (A/B measured +0.3 s at
+    # sf0.1 with spread).
     ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
 
     def report(df: DataFrame, stage: str) -> DataFrame:

@@ -33,7 +33,12 @@ from graphlab_spark.functions.textstats import fingerprint_col
 # ---------------------------------------------------------------- exact
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
-    """fingerprint → (fingerprint, n_docs, keeper=min doc_id) for groups >1."""
+    """fingerprint → (fingerprint, n_docs, keeper=min doc_id) for groups >1.
+
+    Deliberately NOT spread(): one md5 per row is far cheaper than the
+    round-robin exchange spread() adds (measured 0.31 s → 0.52 s at
+    sf0.1), and the groupBy's own exchange already parallelizes the
+    reduce side."""
     return (
         docs.select("doc_id", fingerprint_col().alias("fingerprint"))
         .groupBy("fingerprint")
@@ -273,8 +278,11 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
     one-shot ≡ incremental pair sets. Hashed-set Jaccard equals
     string-set Jaccard unless two distinct shingles of one pair collide
     in 64 bits (~1e-11 per pair)."""
-    from graphlab_spark.operators.scratch import materialize
+    from graphlab_spark.operators.scratch import materialize, spread
 
+    # shingling + signature UDF are the per-row cost centre; spread an
+    # under-parallel scan across the cores before them (no-op at scale)
+    docs = spread(docs)
     sigs = materialize(  # reused by band explode AND verify join — pin off-heap
         shingled(docs)
         .select("doc_id", prehashed_col("sh").alias("shl"))
@@ -589,6 +597,9 @@ def duplicate_spans(
     the text once per gram index — O(tokens²) per doc, measured 9×
     slower on 600-token docs and growing linearly with doc length.
     """
+    from graphlab_spark.operators.scratch import spread
+
+    docs = spread(docs)  # gram explode is the per-row cost centre (r6)
     toks = F.col("_toks")
     n = F.size(toks)
     pos_grams = F.when(

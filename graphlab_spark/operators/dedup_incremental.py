@@ -52,6 +52,9 @@ def sig_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, shl, sig) index rows for ``docs`` — prehashed shingles
     only (no text, no string shingles). Bands derive from this via
     :func:`graphlab_spark.operators.dedup.bands_frame`."""
+    from graphlab_spark.operators.scratch import spread
+
+    docs = spread(docs)  # shingle + signature UDF are pre-exchange (r6)
     return (
         shingled(docs)
         .select("doc_id", prehashed_col("sh").alias("shl"))
@@ -105,8 +108,12 @@ def apply_increment(
     # increment or against the index — would duplicate index rows and
     # fan out every later verify join; cheap guards beat silent
     # corruption (both probes run on the already-materialized sigs).
-    n_rows = new_sigs.count()
-    if new_sigs.select("doc_id").distinct().count() != n_rows:
+    # ONE aggregate answers both probes (count + count_distinct ride
+    # the same scan) instead of two separate jobs (r6).
+    guard = new_sigs.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("doc_id").alias("d")
+    ).head()
+    if guard["d"] != guard["n"]:
         raise ValueError("increment contains duplicate doc_ids")
     have_index = _table_exists(spark, f"{index_dir}/sigs")
     if have_index:
@@ -142,9 +149,13 @@ def apply_increment(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
+    # plain union: self-pairs (both ids new) and cross-pairs (exactly
+    # one id old — the clash guard above enforces new ∩ index = ∅) are
+    # DISJOINT sets, each already distinct, so the old outer .distinct()
+    # was a no-op costing one full exchange of the candidate set (r6)
     cand = (
         cand_self if cand_cross is None
-        else cand_self.unionByName(cand_cross).distinct()
+        else cand_self.unionByName(cand_cross)
     )
     pairs = _verify(cand, all_sigs, all_sigs, threshold)
     return {

@@ -49,6 +49,9 @@ def classifier_scores(
     """(id, n_tokens, score_q, keep) for every row of ``docs`` —
     ``keep = score_q > 0`` under the frozen quantized model. Zero-token
     docs score ``bias_q · 0 = 0`` → dropped (no evidence ⇒ not kept)."""
+    from graphlab_spark.operators.scratch import spread
+
+    docs = spread(docs)  # per-doc tokenize/hash/score is pre-exchange (r6)
     w = spark.read.parquet(weights_path)
     bias_q = int(w.filter(F.col("bucket") == -1).head()["w_q"])  # 1 tiny row
     weights = w.filter(F.col("bucket") >= 0)

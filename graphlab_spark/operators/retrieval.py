@@ -49,6 +49,13 @@ def bm25_scores(
     """
     if not terms:
         raise ValueError("terms must be non-empty")
+    from graphlab_spark.operators.scratch import spread
+
+    # both corpus passes (stats + scoring) tokenize per row BEFORE any
+    # exchange — spread an under-parallel scan (r6; no-op at scale).
+    # Partial-aggregate combine order for avgdl is already arbitrary at
+    # any multi-partition scale; ROUND 6 absorbs the ulp (t18 precedent).
+    docs = spread(docs)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = docs.select(
         F.col(id_col), toks.alias("_toks")
@@ -276,9 +283,14 @@ def rrf_fuse(
     """
     if len(rankings) < 2:
         raise ValueError("rrf_fuse needs at least two rankings")
+    from graphlab_spark.operators.scratch import spread
+
     contribs = []
     for frame, score_col in rankings:
-        top = frame.select(
+        # per-row list scoring (e.g. a quality column over the corpus)
+        # runs inside TakeOrderedAndProject's partial top-k — spread an
+        # under-parallel input so the partial cut is parallel (r6)
+        top = spread(frame).select(
             F.col(id_col), F.col(score_col).alias("_s")
         ).orderBy(F.col("_s").desc(), F.col(id_col).asc()).limit(top_n)
         w = Window.orderBy(F.col("_s").desc(), F.col(id_col).asc())

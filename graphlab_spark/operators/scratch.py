@@ -86,6 +86,31 @@ def cleanup_prefix(prefix: str) -> None:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Scale-adaptive scan spread for compute-heavy stages (r6).
+
+    Small or single-row-group parquet inputs plan as 1-3 scan
+    partitions, so everything BEFORE the first exchange (per-row UDFs,
+    shingling, vectorized scoring) runs on 1-3 cores while the rest of
+    the machine idles (guide §2.5 input skew / §2.6 idle capacity).
+    Round-robin repartition to the session's core count ONLY when the
+    input is under-parallel — at real scale inputs already carry ≥ cores
+    partitions and this is a no-op, so it can never add a data-sized
+    shuffle to a well-laid-out table. The explicit partition count is
+    deliberately NOT AQE-coalescible (user-specified numPartitions is
+    respected), and round-robin keeps Spark's sort-before-repartition
+    retry determinism.
+
+    Use it only where per-row work dominates (document/embedding UDF
+    paths); scan-bound relational queries keep their natural layout.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def materialize(df: DataFrame, name: str = "stage") -> DataFrame:
     """Write ``df`` to scratch parquet and read it back.
 

@@ -250,8 +250,15 @@ def semantic_dedup(
     Pairs crossing a cell boundary are NOT compared — that is the
     SemDeDup contract, and what bounds the quadratic step."""
     from graphlab_spark.operators.canonicalize import connected_components
+    from graphlab_spark.operators.scratch import materialize, spread
 
-    asg = assign_cells(embeddings, centroids)
+    # K cosines per vector in assign_cells run pre-exchange — spread an
+    # under-parallel embedding scan across the cores (no-op at scale).
+    embeddings = spread(embeddings)
+    # asg is consumed twice (the cell join feeding the pair scan AND the
+    # final retention output) — pin it so the broadcast-centroid scoring
+    # scan + max_by aggregation run once, not once per consumer (r6).
+    asg = materialize(assign_cells(embeddings, centroids), "semdedup_asg")
     vec = embeddings.join(asg, "vec_id").select("vec_id", "cell_id", "embedding")
     pairs = vec.groupBy("cell_id").applyInPandas(
         _cell_pairs(tau), "a long, b long"
