@@ -63,7 +63,11 @@ def parse_stage(
     (same pre-UDF filter semantics as ``triples_stage``).
     """
     bc = alias_bc if alias_bc is not None else spark.sparkContext.broadcast(alias_map)
-    deduped = dedup_pages(pages)
+    # mapInPandas ships EVERY input column to the Python worker (Spark
+    # cannot see which ones the function touches — guide rule); project
+    # to exactly the four consumed columns so a stale ``text`` column or
+    # any extra metadata never crosses the Arrow boundary (r6).
+    deduped = dedup_pages(pages).select("url", "warc_ts", "lang", "html")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         amap = bc.value

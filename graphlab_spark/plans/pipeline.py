@@ -481,10 +481,22 @@ def run_pipeline_in_memory(
     _mark("parse")
 
     # ---- vocabulary stages: size-adaptive
+    # ONE scan of the fused parse output instead of a 3-branch union
+    # (mentions ∪ subj ∪ obj) that re-read + re-exploded the parsed
+    # parquet three times: concat the per-doc surface arrays and explode
+    # once — the distinct surface SET is identical, and both consumers
+    # (the sorted driver fast path, the set-level distributed path) are
+    # order-independent (r6; measured 0.8 s → ~0.3 s at 20k pages).
     surfaces_plan = (
-        mentions.select("surface")
-        .unionByName(triples.select(F.col("subj").alias("surface")))
-        .unionByName(triples.select(F.col("obj").alias("surface")))
+        parsed.select(
+            F.explode(
+                F.concat(
+                    F.transform("mentions", lambda m: m["surface"]),
+                    F.transform("triples", lambda t: t["subj"]),
+                    F.transform("triples", lambda t: t["obj"]),
+                )
+            ).alias("surface")
+        )
         .distinct()
     )
     links, entity_map = entity_map_adaptive(
