@@ -295,18 +295,27 @@ def train_unigram_distributed(
     the EM/prune loop with the DISTRIBUTED E-step. The collected state
     is vocabulary-sized at every point; with no truncation the result
     matches :func:`train_unigram` to float tolerance (pinned)."""
-    from graphlab_spark.operators.scratch import materialize
+    import uuid
+
+    from graphlab_spark.operators.scratch import cleanup_prefix, materialize
 
     wc = word_counts(df, text_col)
     if min_count > 1:
         wc = wc.where(F.col("cnt") >= min_count)
     if max_words is not None:
         wc = wc.orderBy(F.col("cnt").desc(), F.col("word")).limit(max_words)
-    wc = materialize(wc, "unigram_wc")  # EM re-reads it every iteration
-    vocab = seed_vocab_distributed(wc, max_pieces)  # JVM pass; vocab-sized collect
-    return _em_prune_loop(
-        vocab, vocab_size, lambda v: expected_counts_distributed(wc, v)
-    )
+    # per-call tag + cleanup after the final EM round: the word table is
+    # corpus-vocabulary-sized, and leaving it pinned under a fixed name
+    # until process exit leaked one copy per training call (r6, ADVICE)
+    tag = f"unigram_wc_{uuid.uuid4().hex[:8]}"
+    wc = materialize(wc, tag)  # EM re-reads it every iteration
+    try:
+        vocab = seed_vocab_distributed(wc, max_pieces)  # vocab-sized collect
+        return _em_prune_loop(
+            vocab, vocab_size, lambda v: expected_counts_distributed(wc, v)
+        )
+    finally:
+        cleanup_prefix(tag)
 
 
 # ------------------------------------------------------------ encoding

@@ -1,8 +1,8 @@
 """IVF-PQ: product-quantized residual ANN — the 100-TB serving path.
 
 IVF with full float vectors keeps the index at O(N·d) floats; PQ
-compresses each vector to M small integer codes (here M=8 codes over
-64 dims = 32× smaller than float32) and scores queries against the
+compresses each vector to M small integer codes (here M=16 codes over
+64 dims = 16× smaller than float32) and scores queries against the
 codes' reconstructions (asymmetric distance, Jégou et al. 2011,
 "Product Quantization for Nearest Neighbor Search"). The model
 (coarse quantizer + per-subspace codebooks) is trained OFFLINE and

@@ -108,19 +108,33 @@ def apply_increment(
     # increment or against the index — would duplicate index rows and
     # fan out every later verify join; cheap guards beat silent
     # corruption (both probes run on the already-materialized sigs).
-    # ONE aggregate answers both probes (count + count_distinct ride
-    # the same scan) instead of two separate jobs (r6).
-    guard = new_sigs.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct("doc_id").alias("d")
-    ).head()
-    if guard["d"] != guard["n"]:
-        raise ValueError("increment contains duplicate doc_ids")
+    # ONE aggregate job answers all three probes (row count, distinct
+    # count, index-clash count ride the same scan + one id join)
+    # instead of three separate jobs (r6). The join keeps the same
+    # scale shape the old semi-probe had: the increment side is small,
+    # the index side is only its id column, and AQE picks the strategy.
     have_index = _table_exists(spark, f"{index_dir}/sigs")
+    probe = new_sigs.select("doc_id")
     if have_index:
         old_sigs = spark.read.parquet(f"{index_dir}/sigs")
         old_bands = spark.read.parquet(f"{index_dir}/bands")
-        clash = new_sigs.join(old_sigs, "doc_id", "left_semi").limit(1).count()
-        if clash:
+        probe = probe.join(
+            old_sigs.select("doc_id").withColumn("_hit", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+    else:
+        old_sigs = old_bands = None
+        probe = probe.withColumn("_hit", F.lit(None).cast("int"))
+    guard = probe.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("doc_id").alias("d"),
+        F.count("_hit").alias("clash"),
+    ).head()
+    if guard["d"] != guard["n"]:
+        raise ValueError("increment contains duplicate doc_ids")
+    if have_index:
+        if guard["clash"]:
             raise ValueError(
                 "increment contains doc_ids already in the index at "
                 f"{index_dir!r}; re-ingestion needs a delete+rebuild or "
@@ -138,7 +152,6 @@ def apply_increment(
         )
         all_sigs = old_sigs.unionByName(new_sigs)
     else:
-        old_sigs = old_bands = None
         cand_cross = None
         all_sigs = new_sigs
 

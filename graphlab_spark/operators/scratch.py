@@ -49,6 +49,7 @@ def reclaim_dead_roots(base: str | None = None) -> list[str]:
     base = base or os.environ.get("SPARK_GRAFT_SCRATCH", "/dev/shm")
     removed = []
     import glob as _glob
+    import time as _time
 
     for d in _glob.glob(os.path.join(base, "glpipe-*")):
         if _root and d == _root[0]:
@@ -57,9 +58,27 @@ def reclaim_dead_roots(base: str | None = None) -> list[str]:
         alive = False
         try:
             pid = int(open(owner).read().strip())
-            os.kill(pid, 0)  # signal 0: existence probe
-            alive = True
+            try:
+                os.kill(pid, 0)  # signal 0: existence probe
+                alive = True
+            except ProcessLookupError:
+                alive = False  # no such pid — truly dead
+            except PermissionError:
+                # EPERM means the pid EXISTS under another user — the
+                # owner is alive; reclaiming here would rmtree a live
+                # session's pinned frames (the exact mid-run data loss
+                # this sweeper exists to prevent). r6, per ADVICE.
+                alive = True
         except (OSError, ValueError):
+            # marker unreadable/absent: a root younger than a short
+            # grace window may be racing between mkdtemp and the marker
+            # write — skip it this sweep instead of reclaiming a
+            # just-born live root (r6, per ADVICE)
+            try:
+                if _time.time() - os.path.getmtime(d) < 60:
+                    continue
+            except OSError:
+                pass
             alive = False
         if not alive:
             shutil.rmtree(d, ignore_errors=True)

@@ -96,12 +96,19 @@ def test_reclaim_dead_roots_spares_live_sessions(tmp_path):
     live = tmp_path / "glpipe-live"
     dead = tmp_path / "glpipe-dead"
     unmarked = tmp_path / "glpipe-old"  # predates the .owner marker
-    for d in (live, dead, unmarked):
+    fresh = tmp_path / "glpipe-fresh"  # racing mkdtemp→marker-write window
+    for d in (live, dead, unmarked, fresh):
         d.mkdir()
         (d / "stage-1").mkdir()
     (live / ".owner").write_text(str(os.getpid()))
     (dead / ".owner").write_text("999999999")
+    # age the marker-less root past the grace window (r6: a root younger
+    # than 60s may be racing between mkdtemp and its marker write —
+    # reclaiming it immediately was the ADVICE-flagged data-loss window)
+    old_ts = os.path.getmtime(unmarked) - 3600
+    os.utime(unmarked, (old_ts, old_ts))
     removed = set(reclaim_dead_roots(base))
     assert str(dead) in removed and str(unmarked) in removed
     assert live.exists() and (live / "stage-1").exists()
+    assert fresh.exists()  # young + marker-less → spared this sweep
     assert not dead.exists() and not unmarked.exists()
