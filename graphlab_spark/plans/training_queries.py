@@ -1655,10 +1655,22 @@ def _kg_pipeline(spark):
     # and be served DataFrames bound to a dead context (r4 ADVICE)
     key = spark.sparkContext.applicationId
     if key not in _KG_CACHE:
+        from graphlab_spark.operators.scratch import materialize as _pin
+
         pages = corpus.generate_pages(spark, _KG_N_PAGES)
         aliases = corpus.alias_df(spark)
         res = run_pipeline_in_memory(spark, pages, aliases)
         res["aliases"] = aliases
+        # Pin the graph outputs once for the gate harness (r6): nodes/
+        # edges come back as LAZY join+agg plans, so every kg_* gate
+        # that self-joins edges re-embedded (and re-executed) the whole
+        # build subtree per branch — triangle counting planned ~150
+        # exchanges. Pinned, each gate plans over a flat parquet scan.
+        # Results are identical (materialize is a transparent
+        # write+read), and this is per-session gate scaffolding, not a
+        # cross-run cache.
+        res["nodes"] = _pin(res["nodes"], "kg_gate_nodes")
+        res["edges"] = _pin(res["edges"], "kg_gate_edges")
         _KG_CACHE.clear()  # at most one live session's frames retained
         _KG_CACHE[key] = res
     return _KG_CACHE[key]
