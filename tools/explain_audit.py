@@ -321,12 +321,24 @@ def main() -> None:
     )
 
     # 14. d08 SemDeDup: the K-row centroid frame broadcasts (never a
-    # shuffled cartesian), and the pair join is keyed on cell_id
+    # shuffled cartesian), and the pair join is keyed on cell_id.
+    # r6: semantic_dedup pins the assignment frame (it feeds two
+    # consumers), so the final plan no longer CONTAINS the centroid
+    # cross join — probe the assignment subplan directly instead.
+    from graphlab_spark.operators.semdedup import assign_cells
+
+    embs_d08 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent_d08 = spark.read.parquet(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "fixtures", "semdedup_centroids.parquet")
+    )
+    pa = plan_of(assign_cells(embs_d08, cent_d08))
+    ok_all &= check("d08 assign no CartesianProduct", "CartesianProduct" not in pa)
+    ok_all &= check(
+        "d08 centroid cross join is broadcast", "BroadcastNestedLoopJoin" in pa
+    )
     p = plan_of(REGISTRY["d08_semantic_dedup"].fn(spark, sf_dir))
     ok_all &= check("d08 no CartesianProduct", "CartesianProduct" not in p)
-    ok_all &= check(
-        "d08 centroid cross join is broadcast", "BroadcastNestedLoopJoin" in p
-    )
     ok_all &= check(
         "d08 within-cell pair join keyed on cell_id",
         "cell_id" in p and ("SortMergeJoin" in p or "ShuffledHashJoin" in p
