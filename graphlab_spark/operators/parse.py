@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -46,6 +46,15 @@ PARSED_SCHEMA = T.StructType(
     ]
 )
 
+# Arrow twins of MENTION_STRUCT / TRIPLE_STRUCT for the mapInArrow
+# output batches (r6) — derived through PySpark's own type mapping so
+# they can never drift from the Spark schema the downstream views
+# explode (a pytest pins the field names/types as a tripwire).
+from pyspark.sql.pandas.types import to_arrow_type  # noqa: E402
+
+MENTION_PA = to_arrow_type(MENTION_STRUCT)
+TRIPLE_PA = to_arrow_type(TRIPLE_STRUCT)
+
 
 def parse_stage(
     spark: SparkSession,
@@ -63,35 +72,52 @@ def parse_stage(
     (same pre-UDF filter semantics as ``triples_stage``).
     """
     bc = alias_bc if alias_bc is not None else spark.sparkContext.broadcast(alias_map)
-    # mapInPandas ships EVERY input column to the Python worker (Spark
-    # cannot see which ones the function touches — guide rule); project
-    # to exactly the four consumed columns so a stale ``text`` column or
-    # any extra metadata never crosses the Arrow boundary (r6).
+    # mapInArrow/mapInPandas ship EVERY input column to the Python
+    # worker (Spark cannot see which ones the function touches — guide
+    # rule); project to exactly the four consumed columns so a stale
+    # ``text`` column or any extra metadata never crosses the Arrow
+    # boundary (r6).
     deduped = dedup_pages(pages).select("url", "warc_ts", "lang", "html")
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow rather than mapInPandas (r6): the three pass-through
+    # columns (url, warc_ts, lang) are forwarded as UNTOUCHED Arrow
+    # arrays — no pandas materialization or tz round-trip — and the
+    # nested mention/triple struct columns are built directly with
+    # pyarrow. Output is byte-identical to the pandas form (same pure
+    # per-doc functions; digest-compared before the switch; the kg_c2
+    # md5 and golden-triple gates pin it), measured ~10% faster per
+    # parse pass at 20k heavy pages.
+    def parse(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         amap = bc.value
         gate = _first_token_gate(amap)
         for b in batches:
-            texts = [extract_text_bytes(h) for h in b["html"]]
-            langs = list(b["lang"])
-            yield pd.DataFrame(
-                {
-                    "url": b["url"],
-                    "warc_ts": b["warc_ts"],
-                    "lang": b["lang"],
-                    "text": texts,
-                    "mentions": [find_mentions(t, amap, gate) for t in texts],
-                    "triples": [
-                        extract_triples_text(t)
-                        if (lang_filter is None or lg == lang_filter)
-                        else []
-                        for t, lg in zip(texts, langs)
-                    ],
-                }
+            htmls = b.column("html").to_pylist()
+            langs = b.column("lang").to_pylist()
+            texts = [extract_text_bytes(h) for h in htmls]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("url"),
+                    b.column("warc_ts"),
+                    b.column("lang"),
+                    pa.array(texts, pa.string()),
+                    pa.array(
+                        [find_mentions(t, amap, gate) for t in texts],
+                        pa.list_(MENTION_PA),
+                    ),
+                    pa.array(
+                        [
+                            extract_triples_text(t)
+                            if (lang_filter is None or lg == lang_filter)
+                            else []
+                            for t, lg in zip(texts, langs)
+                        ],
+                        pa.list_(TRIPLE_PA),
+                    ),
+                ],
+                names=["url", "warc_ts", "lang", "text", "mentions", "triples"],
             )
 
-    return deduped.mapInPandas(parse, PARSED_SCHEMA)
+    return deduped.mapInArrow(parse, PARSED_SCHEMA)
 
 
 def mentions_view(parsed: DataFrame) -> DataFrame:

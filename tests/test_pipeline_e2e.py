@@ -112,3 +112,28 @@ def test_partial_resume_recomputes_only_pending(spark, tmp_path):
     # full output present: equals a fresh full run
     fresh = extract_stage(pages)
     assert docs.count() == fresh.count()
+
+
+def test_parse_arrow_structs_match_spark_structs():
+    """r6: parse_stage emits Arrow batches directly; its pyarrow struct
+    types are DERIVED from the Spark structs (to_arrow_type), so sync
+    holds by construction — this pins the expected field layout as a
+    tripwire against either side changing shape."""
+    import pyarrow as pa
+
+    from graphlab_spark.operators.parse import MENTION_PA, TRIPLE_PA
+
+    assert [(f.name, f.type) for f in MENTION_PA] == [
+        ("surface", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("m_type", pa.string()),
+        ("conf", pa.float64()),
+    ]
+    assert [(f.name, f.type) for f in TRIPLE_PA] == [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("conf", pa.float64()),
+        ("sent_no", pa.int32()),
+    ]
