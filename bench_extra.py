@@ -27,7 +27,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 
 def hardware_control() -> float:
@@ -48,14 +47,12 @@ def main() -> None:
     totals: list[float] = []
     for _ in range(passes):
         controls.append(round(hardware_control(), 2))
-        t0 = time.time()
         out = subprocess.run(
             [sys.executable, os.path.join(here, "bench.py")],
             capture_output=True,
             text=True,
             check=True,
         )
-        _ = time.time() - t0
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         parsed = json.loads(line)
         totals.append(parsed["value"])

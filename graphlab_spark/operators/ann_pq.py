@@ -320,8 +320,12 @@ def ivfpq_search(
     cand = codes.join(F.broadcast(qprobes), "cell")
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
-    # no dropDuplicates — one cell per indexed vector (append contract:
-    # ids are new), distinct probe cells per query (r6, see ivfpq_topk)
+    # KEEP dropDuplicates here (unlike ivfpq_topk): the persisted index
+    # grows via ivfpq_add, whose "ids are new" append contract is not
+    # enforced by a clash guard — a replayed add would leave duplicate
+    # (neighbor_id, cell) rows that this dedup masks from top-k, the
+    # conservative choice for the serving path (r6 self-review).
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = cand.withColumn(
         "score",
         F.round(score_udf(bc_cq, bc_cb)(F.col("qvec"), F.col("cell"), F.col("codes")), 4),

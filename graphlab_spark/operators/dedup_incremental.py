@@ -48,6 +48,50 @@ from graphlab_spark.operators.dedup import (
 from graphlab_spark.operators.materialize import _table_exists
 
 
+# r6: the minhash permutation family changed (exact 31-bit Mersenne —
+# see dedup._permute_min31). Signatures from different families never
+# share band buckets, so an increment signed with one family joined
+# against an index signed with another would SILENTLY drop every
+# cross candidate. The index therefore carries a family marker
+# (a zero-byte Hadoop-FS path — existence check only, no Spark job);
+# apply_increment refuses a mismatched or provably-legacy index.
+SIG_FAMILY = "p31"
+
+
+def _family_marker(index_dir: str) -> str:
+    return f"{index_dir}/SIG_FAMILY_{SIG_FAMILY}"
+
+
+def stamp_sig_family(spark: SparkSession, index_dir: str) -> None:
+    """Idempotently mark ``index_dir`` as signed with the CURRENT
+    family. Writers call this after promoting sigs/bands."""
+    from graphlab_spark.streaming.exactly_once import _FS
+
+    _FS(spark, index_dir).mkdirs(_family_marker(index_dir))
+
+
+def _check_sig_family(spark: SparkSession, index_dir: str, old_sigs: DataFrame) -> None:
+    """Refuse to dedup against an index signed with a different
+    permutation family. Tagged index: one driver-side FS existence
+    check, no job. Untagged (pre-tag or crash-before-stamp) index:
+    sample a few signatures — the legacy 61-bit family's values exceed
+    2^31 with overwhelming probability (best-effort: a run of all-empty
+    docs yields all-zero sigs the probe cannot classify)."""
+    from graphlab_spark.streaming.exactly_once import _FS
+
+    if _FS(spark, index_dir).exists(_family_marker(index_dir)):
+        return
+    rows = old_sigs.select("sig").head(8)
+    if any(v >= (1 << 31) for r in rows for v in (r["sig"] or [])):
+        raise ValueError(
+            f"index at {index_dir!r} was built with a different minhash "
+            f"permutation family (pre-{SIG_FAMILY} signatures detected); "
+            "cross-family band buckets never collide, so incremental "
+            "dedup against it would silently miss pairs — rebuild the "
+            "index with the current family"
+        )
+
+
 def sig_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, shl, sig) index rows for ``docs`` — prehashed shingles
     only (no text, no string shingles). Bands derive from this via
@@ -118,6 +162,7 @@ def apply_increment(
     if have_index:
         old_sigs = spark.read.parquet(f"{index_dir}/sigs")
         old_bands = spark.read.parquet(f"{index_dir}/bands")
+        _check_sig_family(spark, index_dir, old_sigs)
         probe = probe.join(
             old_sigs.select("doc_id").withColumn("_hit", F.lit(1)),
             "doc_id",
@@ -198,6 +243,7 @@ def dedup_increment(
     for name in ("sigs", "bands"):
         out = materialize(r[name], f"dedup_inc_{name}")
         out.write.mode("overwrite").parquet(f"{index_dir}/{name}")
+    stamp_sig_family(spark, index_dir)
     return pairs
 
 
@@ -254,6 +300,11 @@ def start_dedup_stream(
                 batch_id,
                 {"sigs": lambda: r["sigs"], "bands": lambda: r["bands"], "pairs": _pairs},
             )
+            # stamp AFTER the commit promotes: idempotent; a crash
+            # before this leaves an untagged new-family index, which
+            # the head-probe fallback classifies correctly (31-bit
+            # values), and the next successful batch stamps it
+            stamp_sig_family(spark, index_dir)
         finally:
             cleanup_prefix(btag)  # per-batch scratch, fully consumed by staging
 

@@ -283,14 +283,16 @@ def rrf_fuse(
     """
     if len(rankings) < 2:
         raise ValueError("rrf_fuse needs at least two rankings")
-    from graphlab_spark.operators.scratch import spread
-
     contribs = []
     for frame, score_col in rankings:
-        # per-row list scoring (e.g. a quality column over the corpus)
-        # runs inside TakeOrderedAndProject's partial top-k — spread an
-        # under-parallel input so the partial cut is parallel (r6)
-        top = spread(frame).select(
+        # NO spread() here (r6 self-review): ranking frames are DERIVED
+        # plans (e.g. bm25 carries a stats aggregate + broadcast), and
+        # spread's .rdd partition probe materializes a derived frame's
+        # upstream exchange stages under AQE — measured 4 hidden jobs /
+        # 5.3 s on the bm25 frame, discarded. Callers spread their SCAN
+        # inputs instead (bm25_scores does internally; t37 spreads the
+        # quality list's doc scan).
+        top = frame.select(
             F.col(id_col), F.col(score_col).alias("_s")
         ).orderBy(F.col("_s").desc(), F.col(id_col).asc()).limit(top_n)
         w = Window.orderBy(F.col("_s").desc(), F.col(id_col).asc())

@@ -58,6 +58,25 @@ def reclaim_dead_roots(base: str | None = None) -> list[str]:
         alive = False
         try:
             pid = int(open(owner).read().strip())
+        except PermissionError:
+            # cannot even READ the marker (another user's 0700 root) —
+            # its owner may well be alive; never reclaim what we cannot
+            # prove dead (r6 self-review: mkdtemp roots are 0700, so a
+            # cross-user sweep hits this branch before os.kill ever
+            # runs)
+            continue
+        except (OSError, ValueError):
+            # marker absent/corrupt: a root younger than a short grace
+            # window may be racing between mkdtemp and the marker
+            # write — skip it this sweep instead of reclaiming a
+            # just-born live root (r6, per ADVICE)
+            try:
+                if _time.time() - os.path.getmtime(d) < 60:
+                    continue
+            except OSError:
+                pass
+            alive = False
+        else:
             try:
                 os.kill(pid, 0)  # signal 0: existence probe
                 alive = True
@@ -69,17 +88,8 @@ def reclaim_dead_roots(base: str | None = None) -> list[str]:
                 # session's pinned frames (the exact mid-run data loss
                 # this sweeper exists to prevent). r6, per ADVICE.
                 alive = True
-        except (OSError, ValueError):
-            # marker unreadable/absent: a root younger than a short
-            # grace window may be racing between mkdtemp and the marker
-            # write — skip it this sweep instead of reclaiming a
-            # just-born live root (r6, per ADVICE)
-            try:
-                if _time.time() - os.path.getmtime(d) < 60:
-                    continue
             except OSError:
-                pass
-            alive = False
+                alive = False
         if not alive:
             shutil.rmtree(d, ignore_errors=True)
             removed.append(d)
@@ -122,6 +132,13 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
 
     Use it only where per-row work dominates (document/embedding UDF
     paths); scan-bound relational queries keep their natural layout.
+
+    CONTRACT: call it on SCAN-STAGE (narrow) frames only. The partition
+    probe goes through ``df.rdd``, and under AQE that materializes any
+    upstream exchange stages of a derived frame (real jobs whose results
+    are discarded — measured 4 jobs / 5.3 s probing a frame that carried
+    an aggregate + broadcast). Every call site in this repo passes a raw
+    table scan or a narrow projection/union/filter over one.
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism

@@ -2850,10 +2850,14 @@ def t25(spark, sf):
 )
 def t37(spark, sf):
     from graphlab_spark.operators.retrieval import bm25_scores, rrf_fuse
+    from graphlab_spark.operators.scratch import spread
 
     docs = _t(spark, sf, "documents")
-    bm = bm25_scores(docs, _BM25_TERMS)
-    qu = docs.select("doc_id", TS.quality_score_col().alias("quality"))
+    bm = bm25_scores(docs, _BM25_TERMS)  # spreads its own doc scan
+    # spread the SCAN feeding the quality list (per-row scoring runs
+    # inside TakeOrderedAndProject's partial top-k); rrf_fuse itself
+    # must not probe derived frames — see its r6 comment
+    qu = spread(docs).select("doc_id", TS.quality_score_col().alias("quality"))
     return rrf_fuse([(bm, "bm25"), (qu, "quality")], top_n=500)
 
 

@@ -86,3 +86,43 @@ def test_reingested_id_is_rejected(spark, tmp_path):
     dedup_increment(spark, idx, docs.filter(F.col("doc_id") < 100))
     with pytest.raises(ValueError, match="already in the index"):
         dedup_increment(spark, idx, docs.filter(F.col("doc_id") < 50))
+
+
+def test_legacy_family_index_refused(spark, tmp_path):
+    """r6: an index whose signatures come from a DIFFERENT permutation
+    family must be refused — cross-family band buckets never collide,
+    so deduping against it would silently drop every cross candidate."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from graphlab_spark.operators import dedup as DD
+    from graphlab_spark.operators.dedup_incremental import (
+        apply_increment,
+        dedup_increment,
+        sig_frame,
+    )
+
+    docs = _docs(spark).filter(F.col("doc_id") < 60)
+    idx = str(tmp_path / "idx")
+
+    # forge a LEGACY index: same layout, signatures from the old 61-bit
+    # family (values routinely >= 2^31), no family marker
+    legacy = sig_frame(docs.filter(F.col("doc_id") < 40)).withColumn(
+        "sig",
+        F.expr("transform(sig, x -> x + 4294967296)"),  # push into 61-bit range
+    )
+    legacy.write.mode("overwrite").parquet(f"{idx}/sigs")
+    DD.bands_frame(legacy).write.mode("overwrite").parquet(f"{idx}/bands")
+
+    inc = docs.filter(F.col("doc_id") >= 40)
+    with pytest.raises(ValueError, match="permutation family"):
+        apply_increment(spark, idx, inc)
+
+    # a CURRENT-family index (written by dedup_increment, which stamps
+    # the marker) keeps working — and so does one whose marker is
+    # missing but whose signatures are classifiably current
+    idx2 = str(tmp_path / "idx2")
+    dedup_increment(spark, idx2, docs.filter(F.col("doc_id") < 40))
+    pairs = apply_increment(spark, idx2, inc)["pairs"]
+    assert pairs.count() >= 0  # no refusal

@@ -38,7 +38,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             rows.append((name, -1, f"PLAN-ERROR {type(e).__name__}: {e}"))
             continue
-        n_ex = p.count("Exchange") - p.count("BroadcastExchange")
+        n_ex = (
+            p.count("Exchange")
+            - p.count("BroadcastExchange")
+            - p.count("ReusedExchange")
+        )
         smells = []
         if "BatchEvalPython" in p:
             smells.append("BatchEvalPython(pickled-row UDF)")
